@@ -1,0 +1,122 @@
+"""Window segmentation: tumbling / sliding windows along the time axis.
+
+Reference: ``WindowTransformer`` (``src/ezmsg/sigproc/window.py:61-273``) —
+buffer + concat segmentation emitting ``(…, win, time, …)`` windows with
+``window_dur`` / ``window_shift``; the sample-locked window length is
+``int(window_dur * fs)`` and shift ``int(window_shift * fs)`` on the global
+per-key sample index (same grid family as BinSchedule's sample-locked mode).
+
+Batch formulation (chunk-invariant by definition):
+
+- tumbling (shift == window): ``win_id = global_idx // win_len`` — pure
+  column math, no duplication.
+- sliding with hop: each sample lands in every window whose span covers it —
+  expressed by generating the covering window ids with ``sequence`` +
+  ``explode`` (row duplication factor = window/shift, exactly the data
+  expansion any engine pays for overlapping windows).
+- rolling frames (1-sample shift): ``Window.rowsBetween`` — no duplication.
+
+For wall-clock windows on irregular streams use ``F.window(ts, dur, slide)``
+(native Catalyst tumbling/sliding time windows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_index(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    idx_col: str = "gidx",
+) -> DataFrame:
+    """0-based per-key sample index in stream order (one shuffle on key)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    return df.withColumn(idx_col, F.row_number().over(w) - F.lit(1))
+
+
+def tumbling_windows(
+    df: DataFrame,
+    win_len: int,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    win_col: str = "win_id",
+    idx_col: str | None = None,
+    drop_partial: bool = False,
+) -> DataFrame:
+    """Assign each sample its tumbling window id (``gidx // win_len``).
+
+    ``drop_partial`` mirrors the reference's behavior of only emitting full
+    windows (the trailing partial window stays in the buffer/carry).
+    """
+    if idx_col is None:
+        df = with_global_index(df, key_cols, ts_col, "_w_gidx")
+        idx_col = "_w_gidx"
+    out = df.withColumn(win_col, (F.col(idx_col) / win_len).cast("bigint"))
+    if drop_partial:
+        n = F.count("*").over(Window.partitionBy(*key_cols))
+        out = out.withColumn("_n", n).filter(
+            (F.col(win_col) + 1) * win_len <= F.col("_n")
+        ).drop("_n")
+    return out.drop("_w_gidx") if "_w_gidx" in out.columns else out
+
+
+def sliding_windows(
+    df: DataFrame,
+    win_len: int,
+    shift: int,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    win_col: str = "win_id",
+    drop_partial: bool = True,
+) -> DataFrame:
+    """Duplicate each sample into every sliding window covering it.
+
+    Window w spans global indices ``[w*shift, w*shift + win_len)``. A sample at
+    index i belongs to windows ``w ∈ (ceil((i-win_len+1)/shift) … i//shift]``.
+    Implemented with ``sequence`` + ``explode`` (JVM-side generate, no UDF).
+    """
+    df = with_global_index(df, key_cols, ts_col, "_sw_gidx")
+    i = F.col("_sw_gidx")
+    w_lo = F.greatest(F.ceil((i - F.lit(win_len) + 1) / F.lit(shift)).cast("bigint"), F.lit(0))
+    w_hi = F.floor(i / F.lit(shift)).cast("bigint")
+    out = (
+        df.withColumn(win_col, F.explode(F.sequence(w_lo, w_hi)))
+        .filter((i >= F.col(win_col) * shift) & (i < F.col(win_col) * shift + win_len))
+    )
+    if drop_partial:
+        n = F.count("*").over(Window.partitionBy(*key_cols))
+        out = out.withColumn("_n", n).filter(
+            F.col(win_col) * shift + win_len <= F.col("_n")
+        ).drop("_n")
+    return out.drop("_sw_gidx")
+
+
+def rolling_agg(
+    df: DataFrame,
+    k: int,
+    aggs: dict[str, str],
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    include_current: bool = True,
+) -> DataFrame:
+    """Trailing window of the last ``k`` samples: ``rowsBetween(-(k-1), 0)``
+    (or ``(-k, -1)`` when ``include_current=False`` — the RollingScaler's
+    stats-exclude-current semantics). ``aggs`` maps output column → op name
+    in {mean, min, max, sum, std, count}."""
+    hi = 0 if include_current else -1
+    lo = -(k - 1) if include_current else -k
+    w = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(lo, hi)
+    fns = {
+        "mean": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+        "std": F.stddev_pop, "count": F.count,
+    }
+    out = df
+    for name, op in aggs.items():
+        out = out.withColumn(name, fns[op](F.col(value_col)).over(w))
+    return out
