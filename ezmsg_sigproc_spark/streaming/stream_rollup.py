@@ -1,0 +1,43 @@
+"""Structured-Streaming variant of the 1m rollup.
+
+The reference is a streaming engine; chunk-invariance (SURVEY.md §1.2) makes
+our batch rollups its semantic equal, but for live ingestion the same partials
+run as a Structured Streaming query: file/Kafka source → watermark → windowed
+aggregation → parquet sink. The aggregate columns are the identical
+decomposable partials as plans/rollup_tiers.rollup_base, so a streamed 1m
+tier and a batch-recomputed 1m tier agree row-for-row once the watermark
+closes a window.
+
+The reference's only late-data machinery is Resample's high-water mark
+(``src/ezmsg/sigproc/resample.py:66-84``); Spark watermarks generalize it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_rollup_1m(pages_stream: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """pages readStream → per-(url, 1-minute window) decomposable partials."""
+    sig = pages_stream.select(
+        "url",
+        F.col("warc_ts").alias("ts"),
+        F.length("html").cast("double").alias("value"),
+    )
+    return (
+        sig.withWatermark("ts", watermark)
+        .groupBy("url", F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum(F.col("value") * F.col("value")).alias("sum_sq"),
+        )
+        .select(
+            "url",
+            F.floor(F.col("win.start").cast("double") / 60).cast("bigint").alias("bin_m"),
+            "n", "sum", "min", "max", "sum_sq",
+        )
+    )
