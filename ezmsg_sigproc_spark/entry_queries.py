@@ -1,0 +1,1245 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+One entry per implemented operator from SURVEY.md §2 (+ the training-data
+pipeline operators). Each query has a PySpark DataFrame implementation (the
+engine under test) and, where SQL-expressible, an exact DuckDB oracle over the
+same parquet tables. Column names and dtypes are aligned on both sides;
+floating aggregates are rounded to 6 decimals on both sides so engine-order
+summation differences (~1e-12 relative) can't flip the driver's value hash.
+
+Conventions:
+ - timestamps → epoch-seconds double: Spark ``cast(ts as double)`` ≡ DuckDB
+   ``epoch(ts)`` (verified identical to the microsecond);
+ - sums over integers are cast to bigint in SQL (DuckDB's int sum is HUGEINT);
+ - every aggregate/computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import mathops, textops
+from .functions.binning import bin_index_col, bin_index_sql, samples_per_bin
+from .functions.quantize import quantize as quantize_col
+from .operators.aggregate import time_binned_aggregate, trapezoid_aggregate
+from .operators.combinators import sampler
+from .operators.compression import gorilla_compress
+from .operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from .operators.diff import diff
+from .operators.downsample import downsample
+from .operators.ewma import adaptive_standard_scaler, detrend, ewma
+from .operators.filters import butterworth, gaussian_kernel, gaussian_smooth
+from .operators.multimodal import decode_media_meta
+from .operators.resample import resample_linear
+from .operators.rollingscaler import rolling_zscore
+from .operators.select import flatten_keys, slice_by_regex
+from .operators.similarity import cosine_topk
+from .operators.spectrum import spectrum
+from .operators.window import rolling_agg, sliding_windows
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet timestamps arrive as TIMESTAMP_NTZ; session tz is UTC so the
+    # NTZ→TZ cast is identity and the double cast yields epoch seconds with
+    # microsecond fraction (≡ DuckDB epoch(ts))
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# =====================================================================
+# Core rollup family (BinnedAggregate / tiers / BinSchedule law)
+# =====================================================================
+
+@q(
+    "rollup_1m_envelope",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts)/60.0) AS BIGINT) AS bin_m,
+           count(value) AS n,
+           round(sum(value), 6) AS sum,
+           min(value) AS min,
+           max(value) AS max,
+           round(avg(value), 6) AS mean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1m_envelope(spark, sf_dir):
+    """BinnedAggregate (MIN,MAX,…) envelope on 1-minute wall-clock bins —
+    reference binned_aggregate.py:70-83 metric stack."""
+    ev = _events(spark, sf_dir)
+    out = time_binned_aggregate(
+        ev, 60.0, ["count", "sum", "min", "max", "mean"], key_cols=["user_id"],
+        ts_col="ts", value_col="value",
+    )
+    return out.select(
+        "user_id", "bin_m", F.col("count").alias("n"), _r6(F.col("sum")).alias("sum"),
+        "min", "max", _r6(F.col("mean")).alias("mean"),
+    )
+
+
+@q(
+    "rollup_1h_from_1m",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS bin_m,
+           count(value) AS n,
+           round(sum(value), 6) AS sum,
+           min(value) AS min,
+           max(value) AS max,
+           round(avg(value), 6) AS mean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1h_from_1m(spark, sf_dir):
+    """Tier composition: 1h tier re-aggregated from 1m decomposable partials
+    (plans/rollup_tiers.rollup_next); oracle computes 1h directly from raw —
+    equality IS the partial-composition proof."""
+    ev = _events(spark, sf_dir)
+    m1 = time_binned_aggregate(ev, 60.0, ["count", "sum", "min", "max"],
+                               key_cols=["user_id"], ts_col="ts", value_col="value")
+    h1 = (
+        m1.withColumn("bin_m", F.floor(F.col("bin_m") / 60).cast("bigint"))
+        .groupBy("user_id", "bin_m")
+        .agg(
+            F.sum("count").alias("n"), F.sum("sum").alias("sum"),
+            F.min("min").alias("min"), F.max("max").alias("max"),
+        )
+    )
+    return h1.select(
+        "user_id", "bin_m", "n", _r6(F.col("sum")).alias("sum"), "min", "max",
+        _r6(F.col("sum") / F.col("n")).alias("mean"),
+    )
+
+
+@q(
+    "rollup_1d_from_1h",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts)/86400.0) AS BIGINT) AS bin_m,
+           count(value) AS n,
+           round(sum(value), 6) AS sum,
+           min(value) AS min,
+           max(value) AS max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_from_1h(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    m1 = time_binned_aggregate(ev, 60.0, ["count", "sum", "min", "max"],
+                               key_cols=["user_id"], ts_col="ts", value_col="value")
+    h1 = (
+        m1.withColumn("bin_m", F.floor(F.col("bin_m") / 60).cast("bigint"))
+        .groupBy("user_id", "bin_m")
+        .agg(F.sum("count").alias("n"), F.sum("sum").alias("sum"),
+             F.min("min").alias("min"), F.max("max").alias("max"))
+    )
+    d1 = (
+        h1.withColumn("bin_m", F.floor(F.col("bin_m") / 24).cast("bigint"))
+        .groupBy("user_id", "bin_m")
+        .agg(F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+             F.min("min").alias("min"), F.max("max").alias("max"))
+    )
+    return d1.select("user_id", "bin_m", "n", _r6(F.col("sum")).alias("sum"), "min", "max")
+
+
+_SPB_FRAC = 7.5
+
+
+@q(
+    "binlaw_fractional",
+    f"""
+    WITH idx AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS gidx
+      FROM events
+    )
+    SELECT user_id,
+           {bin_index_sql('gidx', _SPB_FRAC)} AS bin_m,
+           count(value) AS n,
+           min(value) AS min,
+           max(value) AS max,
+           round(avg(value), 6) AS mean
+    FROM idx GROUP BY 1, 2
+    """,
+)
+def binlaw_fractional(spark, sf_dir):
+    """The BinSchedule grid law B(m)=int(m·spb) with fractional spb=7.5 over
+    the per-key global sample index (reference util/binning.py:165-190)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gidx = F.row_number().over(w) - F.lit(1)
+    return (
+        ev.withColumn("bin_m", bin_index_col(gidx, _SPB_FRAC))
+        .groupBy("user_id", "bin_m")
+        .agg(F.count("value").alias("n"), F.min("value").alias("min"),
+             F.max("value").alias("max"), _r6(F.avg("value")).alias("mean"))
+    )
+
+
+_SPB_LOCKED = float(int(2.4 * 10.0))  # sample-locked: int(bin_duration*fs) = 24
+
+
+@q(
+    "binlaw_sample_locked",
+    f"""
+    WITH idx AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS gidx
+      FROM events
+    )
+    SELECT user_id,
+           {bin_index_sql('gidx', _SPB_LOCKED)} AS bin_m,
+           count(value) AS n,
+           round(sum(value), 6) AS sum
+    FROM idx GROUP BY 1, 2
+    """,
+)
+def binlaw_sample_locked(spark, sf_dir):
+    """Sample-locked mode: spb = float(int(bin_duration·fs)) (reference
+    binning.py:116-127, Window-compatible grid)."""
+    ev = _events(spark, sf_dir)
+    spb = samples_per_bin(2.4, 10.0, fractional=False)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gidx = F.row_number().over(w) - F.lit(1)
+    return (
+        ev.withColumn("bin_m", bin_index_col(gidx, spb))
+        .groupBy("user_id", "bin_m")
+        .agg(F.count("value").alias("n"), _r6(F.sum("value")).alias("sum"))
+    )
+
+
+@q(
+    "downsample_q3",
+    """
+    WITH idx AS (
+      SELECT user_id, epoch(ts) AS ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS gidx
+      FROM events
+    )
+    SELECT user_id, ts, value FROM idx WHERE gidx % 3 = 0
+    """,
+)
+def downsample_q3(spark, sf_dir):
+    """Every 3rd sample by global per-key index (reference downsample.py:75-105,
+    phase carried across chunks ⇒ global modulo)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return downsample(ev, 3, key_cols=["user_id"], ts_col="ts")
+
+
+@q(
+    "window_rolling_stats",
+    """
+    SELECT user_id, epoch(ts) AS ts,
+           round(avg(value) OVER w, 6) AS roll_mean,
+           min(value) OVER w AS roll_min,
+           max(value) OVER w AS roll_max,
+           round(stddev_pop(value) OVER w, 6) AS roll_std
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_stats(spark, sf_dir):
+    """Sliding 5-sample trailing stats — WindowTransformer 1:1 mode + per-window
+    aggregate (reference window.py:61-273 / rollingscaler stats)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = rolling_agg(
+        ev, 5,
+        {"roll_mean": "mean", "roll_min": "min", "roll_max": "max", "roll_std": "std"},
+        key_cols=["user_id"], ts_col="ts", value_col="value",
+    )
+    return out.select(
+        "user_id", "ts", _r6(F.col("roll_mean")).alias("roll_mean"),
+        "roll_min", "roll_max", _r6(F.col("roll_std")).alias("roll_std"),
+    )
+
+
+@q(
+    "sliding_windows_10_5",
+    """
+    WITH idx AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS gidx,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), exploded AS (
+      SELECT user_id, value, gidx, n, t.w AS win_id
+      FROM idx, LATERAL unnest(range(
+            CAST(greatest(ceil((gidx - 10 + 1)/5.0), 0) AS BIGINT),
+            gidx // 5 + 1)) AS t(w)
+    )
+    SELECT user_id, win_id, count(*) AS n_samples, round(sum(value), 6) AS sum
+    FROM exploded
+    WHERE win_id * 5 + 10 <= n
+    GROUP BY 1, 2
+    """,
+)
+def sliding_windows_10_5(spark, sf_dir):
+    """Overlapping windows len=10 shift=5 (WindowTransformer shifted mode,
+    window.py:178-238): each sample duplicated into its covering windows."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    sw = sliding_windows(ev, 10, 5, key_cols=["user_id"], ts_col="ts", drop_partial=True)
+    return sw.groupBy("user_id", "win_id").agg(
+        F.count("*").alias("n_samples"), _r6(F.sum("value")).alias("sum")
+    )
+
+
+@q(
+    "rolling_zscore_k20",
+    """
+    WITH st AS (
+      SELECT user_id, epoch(ts) AS ts, value,
+             avg(value) OVER w AS mu,
+             stddev_pop(value) OVER w AS sd,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS nb
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts,
+           round(CASE WHEN nb < 5 THEN value
+                 ELSE greatest(least((value - mu) / greatest(sd, 1e-8), 4.0), -4.0)
+                 END, 6) AS z
+    FROM st
+    """,
+)
+def rolling_zscore_k20(spark, sf_dir):
+    """RollingScaler semantics (rollingscaler.py:76-215): trailing-k stats
+    excluding current sample, min_samples warmup passthrough, clip ±4."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = rolling_zscore(ev, 20, min_samples=5, clip=4.0,
+                         key_cols=["user_id"], ts_col="ts", value_col="value")
+    return out.select("user_id", "ts", _r6(F.col("z")).alias("z"))
+
+
+@q(
+    "diff_derivative",
+    """
+    SELECT user_id, epoch(ts) AS ts,
+           round(value - lag(value) OVER w, 6) AS dvalue,
+           round((value - lag(value) OVER w) / (epoch(ts) - lag(epoch(ts)) OVER w), 6) AS deriv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def diff_derivative(spark, sf_dir):
+    """DiffTransformer (diff.py:22-90): first difference + /dt derivative."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = diff(ev, key_cols=["user_id"], ts_col="ts", value_col="value",
+               out_col="dvalue", scale_by_dt=False)
+    out = diff(out, key_cols=["user_id"], ts_col="ts", value_col="value",
+               out_col="deriv", scale_by_dt=True)
+    return out.select("user_id", "ts", _r6(F.col("dvalue")).alias("dvalue"),
+                      _r6(F.col("deriv")).alias("deriv"))
+
+
+@q(
+    "trapezoid_integral",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             (value + lead(value) OVER w) / 2 * (lead(epoch(ts)) OVER w - epoch(ts)) AS s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, round(sum(s), 4) AS trapz FROM seg GROUP BY 1
+    """,
+)
+def trapezoid_integral(spark, sf_dir):
+    """AggregationFunction.TRAPEZOID (aggregate.py:186-196) as ordered window
+    + sum."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = trapezoid_aggregate(ev, key_cols=["user_id"], ts_col="ts", value_col="value")
+    return out.select("user_id", F.round(F.col("trapz"), 4).alias("trapz"))
+
+
+@q(
+    "full_aggregate_ops",
+    """
+    SELECT user_id,
+           max(value) AS max, min(value) AS min,
+           round(avg(value), 6) AS mean,
+           median(value) AS median,
+           round(stddev_pop(value), 6) AS std,
+           round(sum(value), 6) AS sum,
+           count(value) AS n,
+           min(CASE WHEN value = minv THEN epoch(ts) END) AS argmin_ts,
+           min(CASE WHEN value = maxv THEN epoch(ts) END) AS argmax_ts
+    FROM (SELECT *, min(value) OVER (PARTITION BY user_id) AS minv,
+                    max(value) OVER (PARTITION BY user_id) AS maxv
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def full_aggregate_ops(spark, sf_dir):
+    """AggregateTransformer full-axis reduction with the reference's op set
+    (aggregate.py:34-74): max/min/mean/exact-median/std(ddof=0)/sum plus
+    argmin/argmax converted to the time coordinate (deterministic tie-break:
+    earliest ts among extremes)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    kb = Window.partitionBy("user_id")
+    ev = ev.withColumn("minv", F.min("value").over(kb)).withColumn("maxv", F.max("value").over(kb))
+    return ev.groupBy("user_id").agg(
+        F.max("value").alias("max"), F.min("value").alias("min"),
+        _r6(F.avg("value")).alias("mean"), F.median("value").alias("median"),
+        _r6(F.stddev_pop("value")).alias("std"), _r6(F.sum("value")).alias("sum"),
+        F.count("value").alias("n"),
+        F.min(F.when(F.col("value") == F.col("minv"), F.col("ts"))).alias("argmin_ts"),
+        F.min(F.when(F.col("value") == F.col("maxv"), F.col("ts"))).alias("argmax_ts"),
+    )
+
+
+@q(
+    "ranged_aggregate_bands",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             CASE WHEN value >= 0 AND value <= 50 THEN 0
+                  WHEN value > 50 AND value <= 150 THEN 1
+                  WHEN value > 150 AND value <= 500 THEN 2
+                  END AS band_id
+      FROM events
+    )
+    SELECT event_type, band_id, count(*) AS n, round(avg(value), 6) AS mean,
+           min(value) AS min, max(value) AS max
+    FROM b WHERE band_id IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def ranged_aggregate_bands(spark, sf_dir):
+    """RangedAggregate over value bands (aggregate.py:216-334): first matching
+    band wins; here bands are disjoint half-open after the first."""
+    ev = _events(spark, sf_dir)
+    sel = F.col("value")
+    bucket = (
+        F.when((sel >= 0) & (sel <= 50), 0)
+        .when((sel > 50) & (sel <= 150), 1)
+        .when((sel > 150) & (sel <= 500), 2)
+    )
+    return (
+        ev.withColumn("band_id", bucket)
+        .filter(F.col("band_id").isNotNull())
+        .groupBy("event_type", "band_id")
+        .agg(F.count("*").alias("n"), _r6(F.avg("value")).alias("mean"),
+             F.min("value").alias("min"), F.max("value").alias("max"))
+    )
+
+
+# =====================================================================
+# Recurrence kernels (EWMA family) — oracle via O(n²)-per-key weighted sums
+# =====================================================================
+
+_ALPHA = 0.6
+
+
+def _ewma_oracle_cte(alpha: float) -> str:
+    b = 1.0 - alpha
+    return f"""
+    WITH idx AS (
+      SELECT user_id, epoch(ts) AS ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i
+      FROM events
+    ), pairs AS (
+      SELECT a.user_id, a.ts, a.i,
+             sum(b.value * power({b!r}, a.i - b.i)) AS s,
+             sum(power({b!r}, a.i - b.i)) AS w,
+             sum(b.value * b.value * power({b!r}, a.i - b.i)) AS s2
+      FROM idx a JOIN idx b ON a.user_id = b.user_id AND b.i <= a.i
+      GROUP BY 1, 2, 3
+    )
+    """
+
+
+@q(
+    "ewma_alpha06",
+    _ewma_oracle_cte(_ALPHA)
+    + """
+    SELECT user_id, ts, round(s / w, 6) AS ewma FROM pairs
+    """,
+)
+def ewma_alpha06(spark, sf_dir):
+    """Bias-corrected EWMA (ewma.py:192-272). Oracle computes the equivalent
+    weight-normalized form Σβ^(t-j)x_j / Σβ^(t-j) (exact algebraic identity
+    with the reference's lfilter + 1-(1-α)^t correction)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = ewma(ev, alpha=_ALPHA, key_cols=["user_id"], ts_col="ts",
+               value_col="value", out_col="ewma")
+    return out.select("user_id", "ts", _r6(F.col("ewma")).alias("ewma"))
+
+
+@q(
+    "adaptive_zscore",
+    _ewma_oracle_cte(_ALPHA)
+    + """
+    SELECT user_id, ts,
+           round(CASE WHEN (s2/w - (s/w)*(s/w)) > 0
+                 THEN (v - s/w) / sqrt(s2/w - (s/w)*(s/w)) ELSE 0.0 END, 6) AS z
+    FROM (SELECT p.*, e.value AS v
+          FROM pairs p JOIN idx e ON e.user_id = p.user_id AND e.i = p.i)
+    """,
+)
+def adaptive_zscore(spark, sf_dir):
+    """AdaptiveStandardScaler (scaler.py:98-176): z from two EWMAs, 0 where
+    var ≤ 0."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = adaptive_standard_scaler(ev, alpha=_ALPHA, key_cols=["user_id"],
+                                   ts_col="ts", value_col="value", out_col="z")
+    return out.select("user_id", "ts", _r6(F.col("z")).alias("z"))
+
+
+@q(
+    "detrend_ewma",
+    _ewma_oracle_cte(_ALPHA)
+    + """
+    SELECT p.user_id, p.ts, round(e.value - p.s / p.w, 6) AS detrended
+    FROM pairs p JOIN idx e ON e.user_id = p.user_id AND e.i = p.i
+    """,
+)
+def detrend_ewma(spark, sf_dir):
+    """DetrendTransformer (detrend.py:10-19): x − EWMA(x)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = detrend(ev, tau=1.0, dt=-math.log(1 - _ALPHA),
+                  key_cols=["user_id"], ts_col="ts", value_col="value",
+                  out_col="detrended")
+    return out.select("user_id", "ts", _r6(F.col("detrended")).alias("detrended"))
+
+
+# =====================================================================
+# Gap-fill / resample
+# =====================================================================
+
+@q(
+    "gapfill_linear_300s",
+    """
+    WITH s AS (
+      SELECT user_id, epoch(ts) AS t, value FROM events
+    ), span AS (
+      SELECT user_id, min(t) AS t0, max(t) AS t1 FROM s GROUP BY 1
+    ), grid AS (
+      SELECT user_id, t0 + g.i * 300.0 AS t
+      FROM span, LATERAL unnest(range(0, CAST(floor((t1 - t0) / 300.0) AS BIGINT) + 1)) AS g(i)
+    ), unioned AS (
+      SELECT user_id, t, value, 0 AS is_grid FROM s
+      UNION ALL
+      SELECT user_id, t, NULL, 1 FROM grid
+    ), br AS (
+      SELECT user_id, t, is_grid,
+             last_value(value IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp AS pt,
+             first_value(value IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wn AS nt
+      FROM unioned
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t AS ts,
+           round(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   CASE WHEN nt = pt THEN pv ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END
+                 WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
+    FROM br WHERE is_grid = 1
+    """,
+)
+def gapfill_linear_300s(spark, sf_dir):
+    """Resample/gap-fill onto a 300 s grid with linear interpolation
+    (resample.py:337-353 interp1d(kind='linear') semantics)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = resample_linear(ev, 300.0, key_cols=["user_id"], ts_col="ts",
+                          value_col="value", fill="last")
+    return out.select("user_id", "ts", _r6(F.col("value")).alias("value"))
+
+
+# =====================================================================
+# Filters (IIR → rows-only; FIR Gaussian → exact SQL oracle)
+# =====================================================================
+
+_GAUSS_DT = 1.0
+_GAUSS_SIGMA = 1.0  # 9 taps at width 4σ
+
+
+def _gauss_oracle() -> str:
+    taps = gaussian_kernel(_GAUSS_SIGMA, _GAUSS_DT)
+    m = len(taps) // 2
+    terms = []
+    for j, w in enumerate(taps):
+        off = j - m  # tap j multiplies x[i + off]
+        if off < 0:
+            src = f"coalesce(lag(value, {-off}) OVER w, first_value(value) OVER w)"
+        elif off > 0:
+            src = f"coalesce(lead(value, {off}) OVER w, last_value(value) OVER wfull)"
+        else:
+            src = "value"
+        terms.append(f"{w!r} * {src}")
+    expr = " + ".join(terms)
+    return f"""
+    SELECT user_id, epoch(ts) AS ts, round({expr}, 6) AS smoothed
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+           wfull AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """
+
+
+@q("gaussian_smooth", _gauss_oracle())
+def gaussian_smooth_q(spark, sf_dir):
+    """GaussianSmoothingFilter (gaussiansmoothing.py:16-60): zero-phase
+    Gaussian FIR, edges clamped to the first/last sample. The oracle expands
+    the convolution into explicit lag/lead terms with the same tap values."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = gaussian_smooth(ev, _GAUSS_SIGMA, _GAUSS_DT, key_cols=["user_id"],
+                          ts_col="ts", value_col="value", out_col="smoothed")
+    return out.select("user_id", "ts", _r6(F.col("smoothed")).alias("smoothed"))
+
+
+@q("butterworth_lowpass")  # IIR: not SQL-expressible → rows-only check
+def butterworth_lowpass(spark, sf_dir):
+    """Butterworth LP order 4 (butterworthfilter.py:115-159) via the numpy
+    SOS kernel in applyInPandas; x0-scaled zi init (filter.py:362-447)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = butterworth(ev, order=4, cutoff=0.05, fs=1.0, key_cols=["user_id"],
+                      ts_col="ts", value_col="value", out_col="filtered")
+    return out.select("user_id", "ts", _r6(F.col("filtered")).alias("filtered"))
+
+
+@q("decimate_q4")  # Chebyshev/Butterworth LP + downsample: rows-only
+def decimate_q4(spark, sf_dir):
+    """Decimate (decimate.py:14-70): lowpass (anti-alias) then every 4th
+    sample by global index."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    filt = butterworth(ev, order=8, cutoff=0.4 / 4, fs=2.0, key_cols=["user_id"],
+                       ts_col="ts", value_col="value", out_col="filtered")
+    return downsample(filt, 4, key_cols=["user_id"], ts_col="ts").select(
+        "user_id", "ts", _r6(F.col("filtered")).alias("filtered")
+    )
+
+
+@q(
+    "rms_rollup_60s",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts)/60.0) AS BIGINT) AS bin_m,
+           round(sqrt(avg(value * value)), 6) AS rms
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rms_rollup_60s(spark, sf_dir):
+    """RMSBandPower chain core (singlebandpow.py:44-84): square → tumbling
+    bin mean → sqrt (band filter exercised separately in butterworth_lowpass)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", (F.col("value") ** 2).alias("value"))
+    out = time_binned_aggregate(ev, 60.0, ["mean"], key_cols=["user_id"],
+                                ts_col="ts", value_col="value")
+    return out.select("user_id", "bin_m", _r6(F.sqrt(F.col("mean"))).alias("rms"))
+
+
+# =====================================================================
+# Element-wise math / encodings
+# =====================================================================
+
+@q(
+    "math_elementwise",
+    """
+    SELECT event_type,
+           round(avg(abs(value)), 6) AS mean_abs,
+           round(avg(greatest(least(value, 100.0), 10.0)), 6) AS mean_clip,
+           round(avg(ln(CASE WHEN value <= 0 THEN 2.2250738585072014e-308 ELSE value END)), 6) AS mean_log,
+           round(avg(power(value, 2.0)), 6) AS mean_pow2,
+           round(avg(value * 2.5 + 1.0), 6) AS mean_affine,
+           round(avg(1.0 / (1.0 + exp(-value / 100.0))), 6) AS mean_sigmoid
+    FROM events GROUP BY 1
+    """,
+)
+def math_elementwise(spark, sf_dir):
+    """The math/ operator set (SURVEY.md §2.5) as Column expressions:
+    abs, clip, log(clip_zero), pow, linear transform, sigmoid activation."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        _r6(F.avg(mathops.abs_(v))).alias("mean_abs"),
+        _r6(F.avg(mathops.clip(v, 10.0, 100.0))).alias("mean_clip"),
+        _r6(F.avg(mathops.log(v, clip_zero=True))).alias("mean_log"),
+        _r6(F.avg(mathops.pow_(v, 2.0))).alias("mean_pow2"),
+        _r6(F.avg(mathops.linear_transform(v, 2.5, 1.0))).alias("mean_affine"),
+        _r6(F.avg(mathops.sigmoid(v / 100.0))).alias("mean_sigmoid"),
+    )
+
+
+@q(
+    "coordinate_spaces",
+    """
+    SELECT event_type,
+           round(avg(sqrt(value * value + user_id * user_id)), 6) AS mean_rho,
+           round(avg(atan2(CAST(user_id AS DOUBLE), value)), 6) AS mean_phi
+    FROM events GROUP BY 1
+    """,
+)
+def coordinate_spaces(spark, sf_dir):
+    """CoordinateSpaces cartesian→polar (coordinatespaces.py:28-46)."""
+    ev = _events(spark, sf_dir)
+    rho, phi = mathops.cart2pol(F.col("value"), F.col("user_id").cast("double"))
+    return ev.groupBy("event_type").agg(
+        _r6(F.avg(rho)).alias("mean_rho"), _r6(F.avg(phi)).alias("mean_phi")
+    )
+
+
+@q(
+    "quantize_8bit",
+    """
+    SELECT CAST(floor(greatest(least(value, 500.0), 0.0) / 500.0 * 255 + 0.5) AS SMALLINT) AS code,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def quantize_8bit(spark, sf_dir):
+    """QuantizeTransformer (quantize.py:33-68): clip→scale→round→unsigned code
+    (floor(x+0.5) rounding on both engines for determinism)."""
+    ev = _events(spark, sf_dir)
+    clipped = mathops.clip(F.col("value"), 0.0, 500.0)
+    code = F.floor(clipped / 500.0 * 255 + 0.5).cast("smallint")
+    return ev.groupBy(code.alias("code")).agg(F.count("*").alias("n"))
+
+
+@q(
+    "digitize_16bit",
+    """
+    SELECT CAST(floor((greatest(least(value, 500.0), -500.0) - 0.0) / (1000.0 / 65535) + 0.5) AS INTEGER) AS code,
+           count(*) AS n,
+           round(min(1000.0 / 65535), 9) AS conversion,
+           round(min(0.0), 1) AS offset
+    FROM events GROUP BY 1
+    """,
+)
+def digitize_16bit(spark, sf_dir):
+    """DigitizeTransformer (digitize.py:57-112): signed full-range mapping with
+    the inverse map (conversion, offset) carried as columns (attrs→columns)."""
+    ev = _events(spark, sf_dir)
+    conversion = 1000.0 / 65535
+    clipped = mathops.clip(F.col("value"), -500.0, 500.0)
+    code = F.floor((clipped - 0.0) / conversion + 0.5).cast("int")
+    return ev.groupBy(code.alias("code")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min(F.lit(conversion)), 9).alias("conversion"),
+        F.round(F.min(F.lit(0.0)), 1).alias("offset"),
+    )
+
+
+# =====================================================================
+# Selection / reshaping / combinators
+# =====================================================================
+
+@q(
+    "slicer_regex",
+    """
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean
+    FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+    GROUP BY 1
+    """,
+)
+def slicer_regex(spark, sf_dir):
+    """SlicerTransformer regex-over-labels (slicer.py:58-316)."""
+    ev = _events(spark, sf_dir)
+    sel = slice_by_regex(ev, "event_type", "^(click|view)$")
+    return sel.groupBy("event_type").agg(F.count("*").alias("n"), _r6(F.avg("value")).alias("mean"))
+
+
+@q(
+    "flatten_keys",
+    """
+    SELECT event_type || '.' || CAST(user_id AS VARCHAR) AS flat_key, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def flatten_keys_q(spark, sf_dir):
+    """FlattenTransformer label join (flatten.py:1-45)."""
+    ev = _events(spark, sf_dir)
+    out = flatten_keys(ev, ["event_type", "user_id"], out_col="flat_key", sep=".")
+    return out.groupBy("flat_key").agg(F.count("*").alias("n"))
+
+
+@q(
+    "align_add_streams",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS bin_m,
+             round(avg(value), 6) AS a FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS bin_m,
+             round(avg(value), 6) AS b FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT a.user_id, a.bin_m, a.a, b.b,
+           round(a.a + b.b, 6) AS sum_ab, round(a.a - b.b, 6) AS diff_ab
+    FROM a JOIN b USING (user_id, bin_m)
+    """,
+)
+def align_add_streams(spark, sf_dir):
+    """AlignAlongAxis + Add/Difference (align.py:48-237, math/add.py:47-96):
+    two per-hour streams aligned on (key, bin) then ±."""
+    ev = _events(spark, sf_dir)
+
+    def stream(etype, name):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.floor(F.col("ts") / 3600.0).cast("bigint").alias("bin_m"))
+            .agg(_r6(F.avg("value")).alias(name))
+        )
+
+    a = stream("click", "a")
+    b = stream("view", "b")
+    j = a.join(b, on=["user_id", "bin_m"], how="inner")
+    return j.select(
+        "user_id", "bin_m", "a", "b",
+        _r6(F.col("a") + F.col("b")).alias("sum_ab"),
+        _r6(F.col("a") - F.col("b")).alias("diff_ab"),
+    )
+
+
+@q(
+    "sampler_triggers",
+    """
+    WITH trig AS (
+      SELECT event_id AS trigger_id, user_id, epoch(ts) AS trig_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT t.trigger_id, count(*) AS n, round(avg(e.value), 6) AS mean,
+           round(min(epoch(e.ts) - t.trig_ts), 6) AS min_rel
+    FROM trig t JOIN events e
+      ON e.user_id = t.user_id
+     AND epoch(e.ts) >= t.trig_ts - 3600.0 AND epoch(e.ts) < t.trig_ts + 7200.0
+    GROUP BY 1
+    """,
+)
+def sampler_triggers(spark, sf_dir):
+    """SamplerTransformer (sampler.py:79-190): per-trigger window
+    [trig−1h, trig+2h) as a broadcast range join; searchsorted 'left'/'left'
+    ⇒ inclusive start, exclusive end."""
+    ev = _events(spark, sf_dir)
+    trig = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("trigger_id"), F.col("user_id"), F.col("ts").alias("trig_ts")
+    )
+    joined = sampler(ev, trig, pre_s=-3600.0, post_s=7200.0, key_cols=["user_id"],
+                     ts_col="ts", trig_ts_col="trig_ts")
+    return joined.groupBy("trigger_id").agg(
+        F.count("*").alias("n"), _r6(F.avg("value")).alias("mean"),
+        _r6(F.min(F.col("ts") - F.col("trig_ts"))).alias("min_rel"),
+    )
+
+
+# =====================================================================
+# Spectral + compression (non-SQL-expressible → rows-only checks)
+# =====================================================================
+
+@q("spectrum_power_64")
+def spectrum_power_64(spark, sf_dir):
+    """SpectrumTransformer (spectrum.py:135-265): hamming-windowed rfft power
+    over tumbling 64-sample windows; numpy FFT in one vectorized call per key."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20).select("user_id", "ts", "value")
+    spec = spectrum(ev, win_len=64, fs=1.0, key_cols=["user_id"], ts_col="ts",
+                    value_col="value", output="power")
+    return spec.groupBy("user_id", "freq_idx").agg(
+        _r6(F.avg("spec")).alias("mean_power"), F.round(F.min("freq_hz"), 6).alias("freq_hz")
+    )
+
+
+@q("gorilla_compression")
+def gorilla_compression(spark, sf_dir):
+    """Gorilla XOR + delta-of-delta codec (VLDB'15) per user series; checks
+    the roundtrip inside the kernel and reports bytes/point."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = gorilla_compress(ev, key_cols=["user_id"], ts_col="ts", value_col="value")
+    return out.select("user_id", "n_points", "ts_bytes", "val_bytes",
+                      F.round("bytes_per_point", 4).alias("bytes_per_point"), "roundtrip_ok")
+
+
+# =====================================================================
+# Training-data pipeline: dedup / similarity / text / multimodal
+# =====================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text)."""
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+_MH_K, _MH_N, _MH_BANDS = 5, 8, 4
+
+
+def _minhash_sql() -> str:
+    rpb = _MH_N // _MH_BANDS
+    band_cols = ", ".join(
+        "(" + " || '#' || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb)) + f") AS band{b}"
+        for b in range(_MH_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_id, band{b} AS band_sig FROM sigs" for b in range(_MH_BANDS)
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}|' || s)))" for j in range(_MH_N)
+    )
+    return f"""
+    WITH sh_t AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(range(1, length(text) - {_MH_K} + 2),
+                                          i -> substr(text, CAST(i AS INTEGER), {_MH_K}))) AS sh
+      FROM documents WHERE length(text) >= {_MH_K}
+    ), sigs AS (
+      SELECT id, {band_cols}
+      FROM (SELECT id, [{sig_elems}] AS sig FROM sh_t)
+    ), bands AS ({band_union}),
+    bounded AS (
+      SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_id, band_sig) <= 50
+    )
+    """
+
+
+@q(
+    "dedup_minhash_lsh",
+    _minhash_sql()
+    + """
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bounded a JOIN bounded b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (Broder'97 / LSH banding): 8 md5-seeded
+    minhashes, 4 bands × 2 rows, hot buckets bounded at 50."""
+    return minhash_lsh_candidates(_docs(spark, sf_dir), k=_MH_K, n_hashes=_MH_N,
+                                  bands=_MH_BANDS, max_bucket=50)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _minhash_sql()
+    + f"""
+    , cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bounded a JOIN bounded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.id < b.id
+    ), shf AS (
+      SELECT id, unnest(sh) AS s FROM sh_t
+    ), sizes AS (
+      SELECT id, count(*) AS n_sh FROM shf GROUP BY 1
+    ), common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c JOIN shf a ON a.id = c.id_a JOIN shf b ON b.id = c.id_b AND a.s = b.s
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM common c JOIN sizes sa ON sa.id = c.id_a JOIN sizes sb ON sb.id = c.id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification of the LSH candidates."""
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(docs, k=_MH_K, n_hashes=_MH_N,
+                                  bands=_MH_BANDS, max_bucket=50)
+    out = ngram_jaccard_pairs(docs, cand, k=_MH_K)
+    return out.select("id_a", "id_b", "n_common", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS BIGINT) AS s{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents
+    ), votes AS (
+      SELECT id, {votes} FROM toks WHERE length(tok) > 0 GROUP BY id
+    ), sims AS (
+      SELECT id, CAST({bits} AS BIGINT) AS simhash FROM votes
+    )
+    """
+
+
+@q(
+    "dedup_simhash",
+    _simhash_sql()
+    + """
+    SELECT simhash, count(*) AS n_docs, min(id) AS keep_id
+    FROM sims GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash (Charikar'02) buckets with >1 member."""
+    sim = simhash16(_docs(spark, sf_dir))
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@q(
+    "text_quality_tokens",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+           round(avg((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) /
+                     greatest(length(text), 1)), 6) AS punct_ratio
+    FROM documents GROUP BY 1
+    """,
+)
+def text_quality_tokens(spark, sf_dir):
+    """Token counting + punctuation ratio per source (training-data QA)."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textops.whitespace_token_count(t)).cast("bigint").alias("ws_tokens"),
+        F.sum(textops.word_token_count(t)).cast("bigint").alias("bpe_tokens"),
+        _r6(F.avg(textops.punct_ratio(t))).alias("punct_ratio"),
+    )
+
+
+def _langid_sql() -> str:
+    branches = []
+    score_exprs = {}
+    for lang, words in textops.LANG_MARKERS.items():
+        parts = [
+            f"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {wrd} ', ''))) / {len(wrd) + 2} AS INTEGER)"
+            for wrd in words
+        ]
+        score_exprs[lang] = " + ".join(parts)
+    # argmax with first-wins ties in dict order → nested CASE
+    langs = list(textops.LANG_MARKERS)
+    cond = "CASE "
+    for i, lang in enumerate(langs):
+        others_before = [f"s_{lg} >= s_{lang}" for lg in langs[:i]]
+        others_after = [f"s_{lg} > s_{lang}" for lg in langs[i + 1 :]]
+        nots = " AND ".join(["s_" + lang + " > 0"] + [f"NOT ({c})" for c in others_before + others_after])
+        cond += f"WHEN {nots} THEN '{lang}' "
+    cond += "ELSE 'und' END"
+    scores = ", ".join(f"{e} AS s_{lg}" for lg, e in score_exprs.items())
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {scores} FROM documents
+    ), pred AS (
+      SELECT doc_id, lang, {cond} AS pred_lang FROM scored
+    )
+    """
+
+
+@q(
+    "lang_id",
+    _langid_sql()
+    + """
+    SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    """Marker-word language ID vs the stored lang column (confusion counts)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("lang", textops.lang_id(F.col("text")).alias("pred_lang")).groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT lang, count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_fp,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Whitespace-normalized md5 fingerprint per doc, distinct per lang."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.countDistinct(textops.fingerprint(F.col("text"))).alias("n_fp"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q(
+    "multimodal_decode",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             1 + ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                  + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 64 AS width,
+             1 + ((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+                  + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 64 AS height,
+             ['png', 'jpeg', 'webp', 'gif'][
+               1 + ((instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+                    + instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1) % 4] AS format,
+             length(text) AS n_bytes
+      FROM documents
+    )
+    SELECT format, count(*) AS n, CAST(sum(width) AS BIGINT) AS sum_w,
+           CAST(sum(height) AS BIGINT) AS sum_h, CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+    FROM meta GROUP BY 1
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload → typed metadata via mapInPandas
+    (decode itself is the documented deterministic stub)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    meta = decode_media_meta(docs, binary_col="payload", keep_cols=("doc_id",))
+    return meta.groupBy("format").agg(
+        F.count("*").alias("n"), F.sum("width").cast("bigint").alias("sum_w"),
+        F.sum("height").cast("bigint").alias("sum_h"),
+        F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+    )
+
+
+@q(
+    "embedding_cosine_topk",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM c WHERE vec_id < 10),
+    sims AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pv, c.v) AS sim
+      FROM p JOIN c ON c.vec_id != p.probe_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT probe_id, neighbor_id, round(sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per probe (first 10 vec_ids) — JVM-side
+    zip_with/aggregate dot products, broadcast probes, rank with
+    deterministic tie-break."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, probes, k=5)
+    return out.select("probe_id", "neighbor_id", _r6(F.col("cos_sim")).alias("cos_sim"), "rank")
+
+
+@q("embedding_ann_lsh")
+def embedding_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate neighbors (Charikar'02 random hyperplanes,
+    md5-derived deterministic projections) — the scale path where the
+    brute-force cross join is replaced by a bucket join."""
+    from .operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_lsh(emb, probes, k=5, n_planes=6)
+    return out.select("probe_id", "neighbor_id", _r6(F.col("cos_sim")).alias("cos_sim"), "rank")
+
+
+# =====================================================================
+# Catalyst-native query capability (TPC-H-style, joins/broadcast)
+# =====================================================================
+
+@q(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — pure Catalyst partial aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_topk",
+    """
+    WITH rev AS (
+      SELECT o.o_orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ), ranked AS (
+      SELECT o_orderkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rk
+      FROM rev
+    )
+    SELECT o_orderkey, revenue FROM ranked WHERE rk <= 10
+    """,
+)
+def tpch_q3_topk(spark, sf_dir):
+    """TPC-H Q3-style top-10 revenue orders: broadcast dim join + top-k with
+    deterministic tie-break."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).select(
+        "o_orderkey", "revenue"
+    )

@@ -81,12 +81,15 @@ def bin_index_sql(idx_expr: str, spb: float) -> str:
     ``idx_expr`` is a SQL expression for the 0-based global sample index.
     """
     s = repr(float(spb))
+    # NB: DuckDB's double→BIGINT cast *rounds*; Spark/numpy truncate. The law
+    # is defined with truncation (int(m*spb)), so trunc() is explicit here.
+    est = f"(CAST(trunc(greatest(ceil((({idx_expr})+1.0)/{s}), 1.0)) AS BIGINT) - 1)"
     return (
-        f"(CASE WHEN CAST(CAST(greatest(ceil((({idx_expr})+1.0)/{s}),1)-1+1 AS DOUBLE)*{s} AS BIGINT) <= ({idx_expr})"
-        f" THEN greatest(ceil((({idx_expr})+1.0)/{s}),1)-1+1"
-        f" WHEN CAST(CAST(greatest(ceil((({idx_expr})+1.0)/{s}),1)-1 AS DOUBLE)*{s} AS BIGINT) > ({idx_expr})"
-        f" THEN greatest(ceil((({idx_expr})+1.0)/{s}),1)-1-1"
-        f" ELSE greatest(ceil((({idx_expr})+1.0)/{s}),1)-1 END)"
+        f"(CASE WHEN CAST(trunc(CAST({est}+1 AS DOUBLE)*{s}) AS BIGINT) <= ({idx_expr})"
+        f" THEN {est}+1"
+        f" WHEN CAST(trunc(CAST({est} AS DOUBLE)*{s}) AS BIGINT) > ({idx_expr})"
+        f" THEN {est}-1"
+        f" ELSE {est} END)"
     )
 
 

@@ -49,11 +49,13 @@ def shingles_col(text_col: str, k: int = 5):
 def minhash_signature(shingle_arr, n_hashes: int = 8):
     """Array of n minhashes: element j = min over shingles of md5(j||shingle)
     (string min of hex digests — engine-independent ordering)."""
+    def seeded(j: int):
+        # NB: a default-arg lambda (s, j=j) would be read by F.transform as a
+        # binary (element, index) function — capture the seed via a closure.
+        return lambda s: F.md5(F.concat(F.lit(str(j) + "|"), s))
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingle_arr, lambda s, j=j: F.md5(F.concat(F.lit(str(j) + "|"), s))))
-            for j in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(shingle_arr, seeded(j))) for j in range(n_hashes)]
     )
 
 

@@ -81,6 +81,8 @@ def sliding_windows(
     Implemented with ``sequence`` + ``explode`` (JVM-side generate, no UDF).
     """
     df = with_global_index(df, key_cols, ts_col, "_sw_gidx")
+    # per-key *sample* count must be taken before the explode duplicates rows
+    df = df.withColumn("_n", F.count("*").over(Window.partitionBy(*key_cols)))
     i = F.col("_sw_gidx")
     w_lo = F.greatest(F.ceil((i - F.lit(win_len) + 1) / F.lit(shift)).cast("bigint"), F.lit(0))
     w_hi = F.floor(i / F.lit(shift)).cast("bigint")
@@ -89,11 +91,8 @@ def sliding_windows(
         .filter((i >= F.col(win_col) * shift) & (i < F.col(win_col) * shift + win_len))
     )
     if drop_partial:
-        n = F.count("*").over(Window.partitionBy(*key_cols))
-        out = out.withColumn("_n", n).filter(
-            F.col(win_col) * shift + win_len <= F.col("_n")
-        ).drop("_n")
-    return out.drop("_sw_gidx")
+        out = out.filter(F.col(win_col) * shift + win_len <= F.col("_n"))
+    return out.drop("_sw_gidx", "_n")
 
 
 def rolling_agg(
