@@ -350,7 +350,7 @@ def rolling_zscore_k20(spark, sf_dir):
     """
     SELECT user_id, epoch(ts) AS ts,
            round(value - lag(value) OVER w, 6) AS dvalue,
-           round((value - lag(value) OVER w) / (epoch(ts) - lag(epoch(ts)) OVER w), 6) AS deriv
+           round(1e6 * (value - lag(value) OVER w) / (epoch(ts) - lag(epoch(ts)) OVER w), 6) AS deriv_e6
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     """,
@@ -362,8 +362,11 @@ def diff_derivative(spark, sf_dir):
                out_col="dvalue", scale_by_dt=False)
     out = diff(out, key_cols=["user_id"], ts_col="ts", value_col="value",
                out_col="deriv", scale_by_dt=True)
+    # deriv scaled to per-1e6-seconds before rounding: raw values like
+    # −0.01/20000 land exactly on a 5e−7 midpoint where Spark (half-up) and
+    # DuckDB (half-even) disagree
     return out.select("user_id", "ts", _r6(F.col("dvalue")).alias("dvalue"),
-                      _r6(F.col("deriv")).alias("deriv"))
+                      _r6(F.col("deriv") * 1e6).alias("deriv_e6"))
 
 
 @q(

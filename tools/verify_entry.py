@@ -28,7 +28,7 @@ def normalize(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            df[c] = df[c].round(6) + 0.0  # +0.0 folds -0.0 → 0.0
         if pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype(int)
         if pd.api.types.is_integer_dtype(df[c]):
