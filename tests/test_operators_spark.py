@@ -1,0 +1,212 @@
+"""Spark operator tests against whole-signal numpy oracles — the reference's
+unit-test pattern (tests/unit/test_downsample.py:69-71 etc.): build a known
+signal, run the Spark operator, compare to the numpy computation on the whole
+array. Includes the reference's empty-input robustness checks
+(tests/helpers/empty_time.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ezmsg_sigproc_spark.operators.aggregate import (
+    binned_aggregate,
+    full_aggregate,
+    ranged_aggregate,
+    time_binned_aggregate,
+    trapezoid_aggregate,
+)
+from ezmsg_sigproc_spark.operators.downsample import downsample, factor_from_target_rate
+from ezmsg_sigproc_spark.operators.ewma import adaptive_standard_scaler, ewma, ewma_corrected_np
+from ezmsg_sigproc_spark.operators.filters import butter_filter_np, butterworth
+from ezmsg_sigproc_spark.operators.resample import resample_linear
+from ezmsg_sigproc_spark.operators.rollingscaler import rolling_zscore
+from ezmsg_sigproc_spark.operators.spectrum import spectrum
+from ezmsg_sigproc_spark.operators.window import sliding_windows, tumbling_windows
+from ezmsg_sigproc_spark.functions.binning import bin_index_np, samples_per_bin
+
+
+def _signal_df(spark, n=300, n_keys=3, fs=10.0, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(n_keys):
+        vals = rng.standard_normal(n)
+        for i in range(n):
+            rows.append((f"k{k}", i / fs, float(vals[i])))
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_downsample_matches_slice_oracle(spark):
+    """reference test_downsample.py:69-71: concat of outputs == sig[::factor]"""
+    df, pdf = _signal_df(spark)
+    for q in [2, 3, 7]:
+        out = downsample(df, q).toPandas().sort_values(["key", "ts"])
+        for k, grp in pdf.groupby("key"):
+            exp = grp.sort_values("ts")["value"].to_numpy()[::q]
+            got = out[out.key == k]["value"].to_numpy()
+            np.testing.assert_array_equal(got, exp)
+
+
+def test_downsample_factor_resolution():
+    # reference downsample.py:57-73
+    assert factor_from_target_rate(1 / 1000.0, 250.0) == 4
+    assert factor_from_target_rate(1 / 1000.0, 3000.0) == 1
+
+
+def test_binned_aggregate_matches_global_oracle(spark):
+    """reference test_binned_aggregate.py:44-84 _ref_binned with int(m*spb)."""
+    df, pdf = _signal_df(spark, n=500, fs=30012.0 / 1000)  # off-nominal
+    bin_dur, fs = 0.25 * 1000, 30012.0 / 1000
+    spb = samples_per_bin(bin_dur, fs)
+    out = binned_aggregate(df, bin_dur, fs, ["min", "max", "mean", "count"]).toPandas()
+    for k, grp in pdf.groupby("key"):
+        vals = grp.sort_values("ts")["value"].to_numpy()
+        m = bin_index_np(np.arange(len(vals)), spb)
+        sub = out[out.key == k].sort_values("bin_m")
+        for _, row in sub.iterrows():
+            seg = vals[m == row.bin_m]
+            assert row["count"] == len(seg)
+            assert row["min"] == pytest.approx(seg.min())
+            assert row["max"] == pytest.approx(seg.max())
+            assert row["mean"] == pytest.approx(seg.mean())
+        # bin_ts label: stream_t0 + m*bin_duration (binning.py:165-174)
+        t0 = grp.ts.min()
+        np.testing.assert_allclose(sub.bin_ts, t0 + sub.bin_m * bin_dur)
+
+
+def test_tumbling_and_sliding_windows(spark):
+    df, pdf = _signal_df(spark, n=100, n_keys=2)
+    t = tumbling_windows(df, 10).groupBy("key", "win_id").count().toPandas()
+    assert set(t["count"]) == {10}
+    assert len(t) == 2 * 10
+    s = sliding_windows(df, 10, 5, drop_partial=True).groupBy("key", "win_id").count().toPandas()
+    assert set(s["count"]) == {10}
+    assert len(s) == 2 * ((100 - 10) // 5 + 1)
+
+
+def test_full_aggregate_ops(spark):
+    df, pdf = _signal_df(spark)
+    out = full_aggregate(df, ["max", "min", "mean", "median", "std", "sum"],
+                         coord_col=None).toPandas().set_index("key")
+    for k, grp in pdf.groupby("key"):
+        v = grp["value"].to_numpy()
+        assert out.loc[k, "max"] == pytest.approx(v.max())
+        assert out.loc[k, "median"] == pytest.approx(np.median(v))
+        assert out.loc[k, "std"] == pytest.approx(v.std())  # ddof=0
+        assert out.loc[k, "sum"] == pytest.approx(v.sum())
+
+
+def test_nan_aggregates_match_numpy(spark):
+    # build from tuples: the pandas ingestion path would coerce NaN→NULL
+    # (pandas uses NaN as its null sentinel), masking the semantics under test
+    rows = [("a", 0.0, 1.0), ("a", 1.0, float("nan")), ("a", 2.0, 3.0),
+            ("a", 3.0, float("nan")), ("a", 4.0, 5.0)]
+    df = spark.createDataFrame(rows, "key string, ts double, value double")
+    out = full_aggregate(df, ["nanmean", "nansum", "nanmax", "mean"]).toPandas()
+    assert out.loc[0, "nanmean"] == pytest.approx(3.0)
+    assert out.loc[0, "nansum"] == pytest.approx(9.0)
+    assert out.loc[0, "nanmax"] == pytest.approx(5.0)
+    assert np.isnan(out.loc[0, "mean"])  # plain mean propagates NaN like numpy
+
+
+def test_ranged_aggregate_bands(spark):
+    df, pdf = _signal_df(spark)
+    out = ranged_aggregate(df, [(-10, 0), (0, 10)], ["count"], band_on="value").toPandas()
+    # band 0 is [-10, 0] inclusive; first-match-wins gives 0.0 to band 0
+    for k, grp in pdf.groupby("key"):
+        v = grp["value"].to_numpy()
+        got0 = out[(out.key == k) & (out.band_id == 0)]["count"].iloc[0]
+        assert got0 == (v <= 0).sum()
+
+
+def test_trapezoid_matches_numpy(spark):
+    df, pdf = _signal_df(spark)
+    out = trapezoid_aggregate(df).toPandas().set_index("key")
+    for k, grp in pdf.groupby("key"):
+        g = grp.sort_values("ts")
+        exp = np.trapz(g["value"].to_numpy(), g["ts"].to_numpy())
+        assert out.loc[k, "trapz"] == pytest.approx(exp)
+
+
+def test_ewma_spark_matches_numpy(spark):
+    df, pdf = _signal_df(spark, n=200)
+    out = ewma(df, alpha=0.25).toPandas().sort_values(["key", "ts"])
+    for k, grp in pdf.groupby("key"):
+        exp = ewma_corrected_np(grp.sort_values("ts")["value"].to_numpy(), 0.25)
+        got = out[out.key == k]["ewma"].to_numpy()
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_rolling_zscore_semantics(spark):
+    """Stats exclude the current sample; warmup passes raw through."""
+    pdf = pd.DataFrame({"key": ["a"] * 30, "ts": np.arange(30.0),
+                        "value": np.arange(30.0)})
+    df = spark.createDataFrame(pdf)
+    out = rolling_zscore(df, 5, min_samples=3).toPandas().sort_values("ts")
+    np.testing.assert_array_equal(out["z"].to_numpy()[:3], pdf["value"].to_numpy()[:3])
+    i = 10
+    win = pdf["value"].to_numpy()[i - 5 : i]
+    exp = (pdf["value"][i] - win.mean()) / max(win.std(), 1e-8)
+    assert out["z"].to_numpy()[i] == pytest.approx(exp)
+
+
+def test_resample_linear_matches_np_interp(spark):
+    rng = np.random.default_rng(3)
+    ts = np.sort(rng.choice(np.arange(0, 1000, 2.0), size=300, replace=False))
+    vals = rng.standard_normal(300)
+    pdf = pd.DataFrame({"key": "a", "ts": ts, "value": vals})
+    df = spark.createDataFrame(pdf)
+    out = resample_linear(df, 7.0).toPandas().sort_values("ts")
+    grid = ts[0] + np.arange(int((ts[-1] - ts[0]) / 7.0) + 1) * 7.0
+    exp = np.interp(grid, ts, vals)
+    np.testing.assert_allclose(out["ts"].to_numpy(), grid)
+    np.testing.assert_allclose(out["value"].to_numpy(), exp, rtol=1e-9)
+
+
+def test_resample_reproduces_exact_sample_points(spark):
+    pdf = pd.DataFrame({"key": "a", "ts": [0.0, 10.0, 20.0], "value": [1.0, 5.0, -3.0]})
+    df = spark.createDataFrame(pdf)
+    out = resample_linear(df, 10.0).toPandas().sort_values("ts")
+    np.testing.assert_array_equal(out["value"].to_numpy(), [1.0, 5.0, -3.0])
+
+
+def test_butterworth_spark_matches_numpy(spark):
+    df, pdf = _signal_df(spark, n=128, n_keys=2)
+    out = butterworth(df, order=4, cutoff=0.1, fs=1.0).toPandas().sort_values(["key", "ts"])
+    for k, grp in pdf.groupby("key"):
+        exp = butter_filter_np(grp.sort_values("ts")["value"].to_numpy(), 4, 0.1, "lowpass", 1.0)
+        np.testing.assert_allclose(out[out.key == k]["filtered"].to_numpy(), exp, rtol=1e-10)
+
+
+def test_spectrum_parseval(spark):
+    """Power spectrum integrates to window energy (rect window, Parseval)."""
+    n = 64
+    pdf = pd.DataFrame({"key": "a", "ts": np.arange(n, dtype=float),
+                        "value": np.sin(2 * np.pi * 8 * np.arange(n) / n)})
+    df = spark.createDataFrame(pdf)
+    out = spectrum(df, win_len=n, fs=1.0, window_fn="rect", output="power").toPandas()
+    assert len(out) == n // 2 + 1
+    # pure tone at bin 8: all power concentrated there
+    assert out.sort_values("spec").iloc[-1]["freq_idx"] == 8
+
+
+def test_empty_input_yields_empty_output(spark):
+    """reference tests/helpers/empty_time.py: zero-length chunks flow through
+    without corrupting anything — batch analog: empty frames give empty
+    results, not errors."""
+    empty = spark.createDataFrame([], "key string, ts double, value double")
+    assert downsample(empty, 3).count() == 0
+    assert time_binned_aggregate(empty, 60, ["mean"]).count() == 0
+    assert ewma(empty, alpha=0.5).count() == 0
+    assert resample_linear(empty, 10.0).count() == 0
+    assert adaptive_standard_scaler(empty, alpha=0.5).count() == 0
+
+
+def test_input_immutability(spark):
+    """reference asserts inputs are never mutated (tests/helpers/util.py:95-109);
+    DataFrames are immutable by construction — pin that the source is re-usable
+    after an operator consumed it."""
+    df, pdf = _signal_df(spark, n=50)
+    _ = downsample(df, 2).count()
+    assert df.count() == len(pdf)

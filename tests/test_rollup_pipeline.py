@@ -1,0 +1,117 @@
+"""Tiered rollup pipeline tests: partial composition, lineage resume,
+retention expiry, pages invariants, streaming/batch agreement."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ezmsg_sigproc_spark.plans.rollup_tiers import (
+    RollupStore,
+    finalize,
+    pages_signal,
+    rollup_base,
+    rollup_next,
+    run_tiered_rollup,
+)
+from ezmsg_sigproc_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, n_urls=60, samples_per_url=200).cache()
+    df.count()
+    return df
+
+
+def test_pages_deterministic(spark, pages):
+    again = generate_pages(spark, n_urls=60, samples_per_url=200)
+    a = pages.select("url", "warc_ts", F.md5("html").alias("h"), "text", "lang")
+    b = again.select("url", "warc_ts", F.md5("html").alias("h"), "text", "lang")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pages_text_invariant(pages):
+    """input_hint per-row invariant: extracted text byte-identical per url."""
+    assert pages.groupBy("url").agg(F.countDistinct("text").alias("n")).filter("n>1").count() == 0
+
+
+def test_tier_composition_exact(spark, pages):
+    """1h from 1m partials == 1h computed directly from raw (and same for 1d):
+    the decomposable-partials design matches direct computation exactly."""
+    sig = pages_signal(pages)
+    via_1m = rollup_next(rollup_base(sig, 60), 60)
+    direct_1h = rollup_base(sig, 3600)
+    a = finalize(via_1m, 3600).withColumn("mean", F.round("mean", 9)).withColumn("std", F.round("std", 9))
+    b = finalize(direct_1h, 3600).withColumn("mean", F.round("mean", 9)).withColumn("std", F.round("std", 9))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    via_1d = rollup_next(rollup_next(rollup_base(sig, 60), 60), 24)
+    direct_1d = rollup_base(sig, 86400)
+    assert via_1d.exceptAll(direct_1d).count() == 0
+
+
+def test_rollup_matches_numpy_oracle(spark, pages):
+    sig = pages_signal(pages).toPandas()
+    out = finalize(rollup_base(pages_signal(pages), 60), 60).toPandas()
+    url = sig.url.iloc[0]
+    g = sig[sig.url == url]
+    bins = np.floor(g.ts.to_numpy() / 60).astype(np.int64)
+    sub = out[out.url == url].sort_values("bin_m")
+    assert len(sub) == len(np.unique(bins))
+    for b in np.unique(bins)[:5]:
+        seg = g.value.to_numpy()[bins == b]
+        row = sub[sub.bin_m == b].iloc[0]
+        assert row["n"] == len(seg)
+        assert row["mean"] == pytest.approx(seg.mean())
+        assert row["std"] == pytest.approx(seg.std())
+
+
+def test_store_resume_and_retention(spark, tmp_path):
+    # longer span than the shared fixture so the 1m tier crosses several
+    # hour-buckets (retention needs ≥2 partitions to drop one)
+    pages = generate_pages(spark, n_urls=20, samples_per_url=4000)
+    store = RollupStore(spark, str(tmp_path / "lake"))
+    m1 = run_tiered_rollup(spark, pages, store=store, resume=True)
+    assert m1["write_1m"]["buckets_written"] > 0
+    written_first = m1["write_1m"]["buckets_written"]
+
+    # resume: second run skips every bucket (checkpointed via lineage)
+    m2 = run_tiered_rollup(spark, pages, store=store, resume=True)
+    assert m2["write_1m"]["buckets_written"] == 0
+    assert m2["write_1m"]["buckets_skipped"] == written_first
+
+    # stored tier re-reads to the same row count
+    assert store.read_tier("1m").count() == m1["rows_1m"]
+
+    # retention: drop the oldest hour buckets
+    buckets = sorted(store.completed_buckets("1m"))
+    cutoff = buckets[1]
+    dropped = store.expire("1m", keep_buckets_from=cutoff)
+    assert dropped == buckets[:1]
+    remaining = store.read_tier("1m").select("ts_bucket").distinct().count()
+    assert remaining == len(buckets) - 1
+
+
+def test_streaming_rollup_matches_batch(spark, pages, tmp_path):
+    """Structured Streaming 1m partials == batch 1m partials once all data is
+    processed (availableNow over a file source)."""
+    from ezmsg_sigproc_spark.streaming.stream_rollup import streaming_rollup_1m
+
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    q = (
+        streaming_rollup_1m(stream)
+        .writeStream.format("memory")
+        .queryName("stream_1m")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url, bin_m, n, sum, min, max, sum_sq from stream_1m")
+    exp = rollup_base(pages_signal(pages), 60)
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
