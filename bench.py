@@ -1,0 +1,160 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Sections:
+ 1. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+    local[$SPARK_GRAFT_CPUS];
+ 2. the north-star tiered rollup (1m/1h/1d) + Gorilla compression over a
+    deterministic synthetic pages table, reporting rows/sec per tier and
+    compressed bytes/point;
+ 3. scaling-efficiency probe: the same rollup job at local[N] and local[4N]
+    in separate JVMs (BASELINE.json north_rule's two-cluster-size criterion,
+    evidenced in-sandbox via parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
+PAGES_ROWS_URLS = int(os.environ.get("BENCH_PAGES_URLS", "4000"))
+PAGES_SAMPLES = int(os.environ.get("BENCH_PAGES_SAMPLES", "1000"))
+
+HEADLINE = [
+    "rollup_1m_envelope",
+    "rollup_1h_from_1m",
+    "binlaw_fractional",
+    "downsample_q3",
+    "window_rolling_stats",
+    "rolling_zscore_k20",
+    "ewma_alpha06",
+    "gapfill_linear_300s",
+    "butterworth_lowpass",
+    "gorilla_compression",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+]
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from ezmsg_sigproc_spark import entry_queries
+    from ezmsg_sigproc_spark.operators.compression import gorilla_compress
+    from ezmsg_sigproc_spark.plans.rollup_tiers import pages_signal, rollup_base, rollup_next
+    from ezmsg_sigproc_spark.session import get_spark
+    from ezmsg_sigproc_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    # -- 1. headline operator queries --------------------------------------
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = entry_queries.QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    # -- 2. tiered rollup + compression on synthetic pages -----------------
+    pages_path = "/tmp/bench_pages.parquet"
+    if not os.path.exists(pages_path):
+        generate_pages(spark, n_urls=PAGES_ROWS_URLS, samples_per_url=PAGES_SAMPLES,
+                       partitions=CPUS * 2).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+
+    rollup = {}
+    sig = pages_signal(pages).cache()
+    sig.count()
+    prev_df, prev_rows = None, n_pages
+    for tier, factor in (("1m", None), ("1h", 60), ("1d", 24)):
+        t0 = time.monotonic()
+        r = rollup_base(sig, 60) if factor is None else rollup_next(prev_df, factor)
+        r = r.cache()
+        out_rows = r.count()
+        dt = time.monotonic() - t0
+        rollup[tier] = {
+            "sec": round(dt, 3),
+            "in_rows": prev_rows,
+            "out_rows": out_rows,
+            "rows_per_sec": round(prev_rows / dt, 1),
+        }
+        prev_df, prev_rows = r, out_rows
+
+    t0 = time.monotonic()
+    blobs = gorilla_compress(
+        sig.withColumn("bucket", F.floor(F.col("ts") / 3600).cast("bigint")),
+        key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+    )
+    agg = blobs.agg(
+        F.sum("ts_bytes").alias("tb"), F.sum("val_bytes").alias("vb"),
+        F.sum("n_points").alias("np"), F.min("roundtrip_ok").alias("ok"),
+    ).collect()[0]
+    gorilla = {
+        "sec": round(time.monotonic() - t0, 3),
+        "points": agg.np,
+        "bytes_per_point": round((agg.tb + agg.vb) / agg.np, 3),
+        "roundtrip_ok": bool(agg.ok),
+        "points_per_sec": round(agg.np / (time.monotonic() - t0), 1),
+    }
+    sig.unpersist()
+    spark.stop()
+
+    # -- 3. scaling probe: N vs 4N cores, fresh JVM each -------------------
+    # raw wall-clock efficiency is reported together with a hardware
+    # calibration (tools/hw_calibration.py): on one box, k-way parallelism
+    # lowers per-core clocks/bandwidth, capping even a perfectly-scheduled
+    # engine below 4×. engine_efficiency = raw speedup / hw-attainable speedup.
+    here = os.path.dirname(os.path.abspath(__file__))
+    scaling = {}
+    for cores in (SCALING_N, SCALING_N * 4):
+        res = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
+             "--cores", str(cores), "--pages", pages_path],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+        scaling[f"n{cores}"] = json.loads(line)
+        res = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "hw_calibration.py"), str(cores)],
+            capture_output=True, text=True, timeout=600,
+        )
+        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+        scaling[f"hw_n{cores}"] = json.loads(line)
+    thr_lo = scaling[f"n{SCALING_N}"]["rows_per_sec"]
+    thr_hi = scaling[f"n{SCALING_N * 4}"]["rows_per_sec"]
+    hw_lo = scaling[f"hw_n{SCALING_N}"]["per_core_mpts"]
+    hw_hi = scaling[f"hw_n{SCALING_N * 4}"]["per_core_mpts"]
+    raw_speedup = thr_hi / thr_lo
+    attainable_speedup = 4.0 * hw_hi / hw_lo
+    scaling["efficiency_raw"] = round(raw_speedup / 4.0, 3)
+    scaling["hw_attainable_efficiency"] = round(attainable_speedup / 4.0, 3)
+    scaling["efficiency_engine"] = round(raw_speedup / attainable_speedup, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline operator suite wall time (sf0.1) + tiered rollup throughput + scaling efficiency",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "pages_rows": n_pages,
+        "rollup": rollup,
+        "gorilla": gorilla,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Scaling-probe worker: run the rollup engine at a given parallelism in its
+own JVM (the master of a live SparkContext can't change, so each parallelism
+level gets a fresh process).
+
+The timed job is the engine itself — tiered rollup aggregation (JVM) + the
+EWMA and Gorilla Arrow kernels — over a pre-materialized narrow signal
+(url, ts, value). The wide-`html` parquet decode is deliberately outside the
+timed loop: on a real cluster input decode is spread across executor-local
+disks, while on one box it is a memory-bandwidth-bound scan that would
+measure the machine, not the engine.
+
+Prints one JSON line with per-phase seconds and total rows/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--pages", required=True, help="parquet path of the pages input")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ezmsg_sigproc_spark.operators.compression import gorilla_compress
+    from ezmsg_sigproc_spark.operators.ewma import ewma
+    from ezmsg_sigproc_spark.plans.rollup_tiers import (
+        pages_signal,
+        rollup_base,
+        rollup_next,
+    )
+    from ezmsg_sigproc_spark.session import get_spark
+
+    # 4 partitions per core: a 1-task-per-core layout makes the slowest
+    # partition the wall clock; finer tasks load-balance (same reasoning as
+    # AQE's coalescing target on a real cluster)
+    spark = get_spark(app_name=f"scaling_n{args.cores}", cores=args.cores,
+                      shuffle_partitions=max(args.cores * 4, 8))
+    pages = spark.read.parquet(args.pages)
+    sig = pages_signal(pages).repartition(max(args.cores * 4, 8), "url").cache()
+    n_rows = sig.count()
+
+    best = {"rollup": float("inf"), "ewma": float("inf"), "gorilla": float("inf")}
+    for _ in range(args.repeats):
+        t0 = time.monotonic()
+        r1m = rollup_base(sig, 60)
+        r1h = rollup_next(r1m, 60)
+        r1d = rollup_next(r1h, 24)
+        n_out = r1m.unionByName(r1h).unionByName(r1d).count()
+        t1 = time.monotonic()
+        ewma(sig, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
+            .agg(F.sum("ewma")).collect()
+        t2 = time.monotonic()
+        blobs = gorilla_compress(
+            sig.withColumn("bucket", F.floor(F.col("ts") / 3600).cast("bigint")),
+            key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+        )
+        blobs.agg(F.sum("ts_bytes"), F.sum("val_bytes"), F.sum("n_points")).collect()
+        t3 = time.monotonic()
+        best["rollup"] = min(best["rollup"], t1 - t0)
+        best["ewma"] = min(best["ewma"], t2 - t1)
+        best["gorilla"] = min(best["gorilla"], t3 - t2)
+
+    elapsed = sum(best.values())
+    print(json.dumps({
+        "cores": args.cores,
+        "elapsed": round(elapsed, 3),
+        "phases": {k: round(v, 3) for k, v in best.items()},
+        "rows": n_rows,
+        "rows_per_sec": round(n_rows / elapsed, 1),
+        "tiers_out_rows": n_out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
