@@ -1246,3 +1246,453 @@ def tpch_q3_topk(spark, sf_dir):
     return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).select(
         "o_orderkey", "revenue"
     )
+
+
+# =====================================================================
+# Channel transforms (CAR / affine) — Catalyst-native
+# =====================================================================
+
+@q(
+    "car_reference",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts)/60.0) AS BIGINT) AS bin_m,
+           event_type,
+           round(value - avg(value) OVER (PARTITION BY user_id, CAST(floor(epoch(ts)/60.0) AS BIGINT)), 6) AS car
+    FROM events
+    """,
+)
+def car_reference(spark, sf_dir):
+    """Common-average rereference (affinetransform.py CommonRereference):
+    x − cross-channel mean at the same (key, bin) — one window aggregate."""
+    from .operators.affine import common_average_reference
+
+    ev = _events(spark, sf_dir)
+    binned = ev.withColumn("bin_m", F.floor(F.col("ts") / 60.0).cast("bigint"))
+    out = common_average_reference(
+        binned, key_cols=["user_id"], ts_col="bin_m", ch_col="event_type",
+        value_col="value", out_col="car",
+    )
+    return out.select("user_id", "bin_m", "event_type", _r6(F.col("car")).alias("car"))
+
+
+@q(
+    "affine_transform",
+    """
+    WITH ch AS (
+      SELECT user_id, CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS bin_m, event_type,
+             round(avg(value), 6) AS v
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2, 3
+    ), wide AS (
+      SELECT a.user_id, a.bin_m, a.v AS click, b.v AS view
+      FROM ch a JOIN ch b ON a.user_id = b.user_id AND a.bin_m = b.bin_m
+       AND a.event_type = 'click' AND b.event_type = 'view'
+    )
+    SELECT user_id, bin_m,
+           round(2.0 * click - 1.0 * view + 1.0, 6) AS y_diff,
+           round(0.5 * click + 0.5 * view, 6) AS y_mean
+    FROM wide
+    """,
+)
+def affine_transform_q(spark, sf_dir):
+    """AffineTransform y = A·x + b over the channel axis
+    (affinetransform.py:1-46): broadcast coefficient join + groupBy sum."""
+    from .operators.affine import affine_transform
+    import numpy as np
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "view"))
+    ch = (
+        ev.groupBy("user_id", F.floor(F.col("ts") / 3600.0).cast("bigint").alias("bin_m"),
+                   F.col("event_type").alias("ch"))
+        .agg(_r6(F.avg("value")).alias("value"))
+    )
+    # matrix applies only where the full channel vector exists
+    complete = ch.groupBy("user_id", "bin_m").agg(F.count("*").alias("nch")).filter("nch = 2")
+    ch = ch.join(complete.select("user_id", "bin_m"), on=["user_id", "bin_m"])
+    out = affine_transform(
+        spark, ch, np.array([[2.0, -1.0], [0.5, 0.5]]),
+        in_channels=["click", "view"], out_channels=["y_diff", "y_mean"],
+        key_cols=["user_id"], ts_col="bin_m", ch_col="ch", value_col="value",
+        offsets=np.array([1.0, 0.0]),
+    )
+    wide = out.groupBy("user_id", "bin_m").pivot("ch", ["y_diff", "y_mean"]).agg(
+        F.first("value")
+    )
+    return wide.select("user_id", "bin_m", _r6(F.col("y_diff")).alias("y_diff"),
+                       _r6(F.col("y_mean")).alias("y_mean"))
+
+
+# =====================================================================
+# Extended filters (FIR oracle-checked; IIR/adaptive rows-only)
+# =====================================================================
+
+def _firwin_oracle() -> str:
+    from .operators.filters2 import firwin
+
+    taps = firwin(9, 0.1, fs=1.0)
+    terms = []
+    for k, w in enumerate(taps):
+        src = "value" if k == 0 else f"coalesce(lag(value, {k}) OVER w, first_value(value) OVER w)"
+        terms.append(f"{w!r} * {src}")
+    expr = " + ".join(terms)
+    return f"""
+    SELECT user_id, epoch(ts) AS ts, round({expr}, 6) AS fir
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+
+@q("fir_lowpass", _firwin_oracle())
+def fir_lowpass(spark, sf_dir):
+    """Window-method FIR lowpass (firfilter.py:18-120), causal with x0 edge
+    clamp; oracle expands the convolution into lag terms."""
+    from .operators.filters import apply_series_kernel, fir_filter_np
+    from .operators.filters2 import firwin
+
+    taps = firwin(9, 0.1, fs=1.0)
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = apply_series_kernel(ev, lambda x: fir_filter_np(x, taps, "causal"),
+                              key_cols=["user_id"], ts_col="ts",
+                              value_col="value", out_col="fir")
+    return out.select("user_id", "ts", _r6(F.col("fir")).alias("fir"))
+
+
+@q("cheby_lowpass")  # IIR → rows-only
+def cheby_lowpass(spark, sf_dir):
+    """Chebyshev-I lowpass (cheby.py:18-127) via the from-scratch design +
+    SOS kernel; also the Decimate anti-alias filter family."""
+    from .operators.filters import apply_series_kernel, sosfilt, sosfilt_zi
+    from .operators.filters2 import cheby_sos
+
+    sos = cheby_sos(4, 1.0, 0.05, "lowpass", fs=1.0, cheby_type="cheby1")
+
+    def kernel(x):
+        import numpy as np
+        if x.size == 0:
+            return x
+        return sosfilt(sos, x, sosfilt_zi(sos) * x[0])
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = apply_series_kernel(ev, kernel, key_cols=["user_id"], ts_col="ts",
+                              value_col="value", out_col="filtered")
+    return out.select("user_id", "ts", _r6(F.col("filtered")).alias("filtered"))
+
+
+@q("comb_notch")  # IIR → rows-only
+def comb_notch(spark, sf_dir):
+    """Comb notch at a fundamental + harmonics (combfilter.py:19-60), RBJ
+    biquad cascade."""
+    from .operators.filters import apply_series_kernel, sosfilt, sosfilt_zi
+    from .operators.filters2 import comb_sos
+
+    sos = comb_sos(1.0, fundamental_freq=0.1, num_harmonics=3, q_factor=10.0)
+
+    def kernel(x):
+        if x.size == 0:
+            return x
+        return sosfilt(sos, x, sosfilt_zi(sos) * x[0])
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = apply_series_kernel(ev, kernel, key_cols=["user_id"], ts_col="ts",
+                              value_col="value", out_col="notched")
+    return out.select("user_id", "ts", _r6(F.col("notched")).alias("notched"))
+
+
+@q("butterworth_zerophase")  # forward-backward IIR → rows-only
+def butterworth_zerophase(spark, sf_dir):
+    """Zero-phase Butterworth (butterworthzerophase.py:1-40): forward +
+    backward pass with odd-reflection padding."""
+    from .operators.filters import apply_series_kernel, butter_sos
+    from .operators.filters2 import sosfiltfilt_np
+
+    sos = butter_sos(4, 0.05, "lowpass", fs=1.0)
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = apply_series_kernel(ev, lambda x: sosfiltfilt_np(sos, x),
+                              key_cols=["user_id"], ts_col="ts",
+                              value_col="value", out_col="zp")
+    return out.select("user_id", "ts", _r6(F.col("zp")).alias("zp"))
+
+
+@q("hilbert_envelope")  # FIR Hilbert + magnitude → rows-only
+def hilbert_envelope(spark, sf_dir):
+    """FIR Hilbert envelope (fir_hilbert.py:22-335): |x + j·H(x)|."""
+    import numpy as np
+
+    from .operators.filters import apply_series_kernel, fir_filter_np
+    from .operators.filters2 import fir_hilbert
+
+    taps = fir_hilbert(31)
+
+    def kernel(x):
+        return np.sqrt(x * x + fir_filter_np(x, taps, "same") ** 2)
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = apply_series_kernel(ev, kernel, key_cols=["user_id"], ts_col="ts",
+                              value_col="value", out_col="envelope")
+    return out.select("user_id", "ts", _r6(F.col("envelope")).alias("envelope"))
+
+
+@q("filterbank_bands")  # multi-kernel FIR → rows-only
+def filterbank_bands(spark, sf_dir):
+    """Filterbank (filterbank.py:26-302): parallel labeled FIR kernels, one
+    output stream per band; reported as mean |y| per (user, band)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.filters2 import filterbank_np, firwin
+
+    kernels = {
+        "low": firwin(17, 0.05, fs=1.0),
+        "mid": firwin(17, (0.05, 0.15), fs=1.0),
+        "high": firwin(17, 0.15, fs=1.0, pass_zero=False),
+    }
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        outs = filterbank_np(x, kernels, mode="same")
+        return pd.DataFrame({
+            "user_id": pdf["user_id"].iloc[0],
+            "band": list(outs),
+            "mean_abs": [float(np.mean(np.abs(v))) for v in outs.values()],
+        })
+
+    out = ev.groupBy("user_id").applyInPandas(kern, "user_id bigint, band string, mean_abs double")
+    return out.select("user_id", "band", _r6(F.col("mean_abs")).alias("mean_abs"))
+
+
+@q("lms_mains_canceller")  # adaptive recurrence → rows-only
+def lms_mains_canceller_q(spark, sf_dir):
+    """LMS mains canceller (adaptive_lnc.py): residual power per user after
+    cancelling an injected tone."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.filters2 import lms_mains_canceller
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        # inject a deterministic tone then cancel it
+        t = np.arange(x.size)
+        tone = 25.0 * np.sin(2 * np.pi * 0.1 * t)
+        y = lms_mains_canceller(x + tone, f0=0.1, fs=1.0, lr=0.05)
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [x.size],
+            "residual_tone_power": [float(np.mean((y - x)[x.size // 2:] ** 2))],
+        })
+
+    out = ev.groupBy("user_id").applyInPandas(
+        kern, "user_id bigint, n bigint, residual_tone_power double")
+    return out.select("user_id", "n", F.round("residual_tone_power", 4).alias("residual_tone_power"))
+
+
+@q("adaptive_lattice_notch")  # adaptive recurrence → rows-only
+def adaptive_lattice_notch_q(spark, sf_dir):
+    """Frequency-tracking lattice notch (adaptive_lattice_notch.py:12-55):
+    tracked frequency after convergence per user."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.filters2 import adaptive_lattice_notch
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        n = len(pdf)
+        t = np.arange(n)
+        tone = np.sin(2 * np.pi * 0.15 * t)
+        _, freqs = adaptive_lattice_notch(tone, f0_init=0.1, fs=1.0, mu=2e-3)
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "tracked_freq": [float(freqs[-1]) if n else None],
+        })
+
+    out = ev.groupBy("user_id").applyInPandas(kern, "user_id bigint, tracked_freq double")
+    return out.select("user_id", F.round("tracked_freq", 4).alias("tracked_freq"))
+
+
+# =====================================================================
+# Spectral extensions
+# =====================================================================
+
+@q("spectrogram")  # FFT → rows-only
+def spectrogram_q(spark, sf_dir):
+    """Spectrogram (spectrogram.py:47-68): Window → Spectrum with the window
+    axis relabeled as time (win start index)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10).select("user_id", "ts", "value")
+    spec = spectrum(ev, win_len=32, fs=1.0, key_cols=["user_id"], ts_col="ts",
+                    value_col="value", output="power")
+    return spec.select(
+        "user_id", (F.col("win_id") * 32).alias("time_idx"), "freq_idx",
+        _r6(F.col("spec")).alias("power"),
+    )
+
+
+@q("band_power")  # FFT + ranged aggregate → rows-only
+def band_power_q(spark, sf_dir):
+    """BandPower (bandpower.py:41-66): spectrogram → mean power per frequency
+    band."""
+    from .operators.spectrum import band_power
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10).select("user_id", "ts", "value")
+    out = band_power(ev, win_len=32, fs=1.0, bands=[(0.0, 0.1), (0.1, 0.3), (0.3, 0.5)],
+                     key_cols=["user_id"], ts_col="ts", value_col="value")
+    return out.select("user_id", "win_id", "band_id", _r6(F.col("mean")).alias("mean_power"))
+
+
+@q("cwt_ricker")  # wavelet filterbank → rows-only
+def cwt_ricker(spark, sf_dir):
+    """CWT via a Ricker (mexican-hat) wavelet filterbank (wavelets.py:22-60):
+    |conv(x, ψ_a)| per scale, mean per (user, scale)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.filters import fir_filter_np
+
+    def ricker(points: int, a: float) -> np.ndarray:
+        vec = np.arange(0, points) - (points - 1.0) / 2
+        amp = 2 / (np.sqrt(3 * a) * np.pi**0.25)
+        return amp * (1 - (vec / a) ** 2) * np.exp(-0.5 * (vec / a) ** 2)
+
+    scales = [2.0, 4.0, 8.0]
+    kernels = {f"a{a:g}": ricker(int(10 * a), a) for a in scales}
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20).select("user_id", "ts", "value")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "user_id": pdf["user_id"].iloc[0],
+            "scale": list(kernels),
+            "mean_abs_coef": [float(np.mean(np.abs(fir_filter_np(x, k, "same")))) for k in kernels.values()],
+        })
+
+    out = ev.groupBy("user_id").applyInPandas(kern, "user_id bigint, scale string, mean_abs_coef double")
+    return out.select("user_id", "scale", _r6(F.col("mean_abs_coef")).alias("mean_abs_coef"))
+
+
+# =====================================================================
+# Generators + composite resample-concat
+# =====================================================================
+
+@q(
+    "oscillator_rms",
+    """
+    WITH osc AS (
+      SELECT CAST(i AS BIGINT) AS i, sin(2 * pi() * 5.0 * (i / 100.0)) AS value
+      FROM range(0, 1000) t(i)
+    )
+    SELECT CAST(floor(i / 20) AS BIGINT) AS bin_m,
+           round(sqrt(avg(value * value)), 6) AS rms,
+           count(*) AS n
+    FROM osc GROUP BY 1
+    """,
+)
+def oscillator_rms(spark, sf_dir):
+    """Oscillator generator (tests/helpers/synth.py) → tumbling RMS; the
+    oracle regenerates the identical sinusoid in SQL (cross-engine
+    deterministic generators)."""
+    from .sources.synth import oscillator
+
+    osc = oscillator(spark, n=1000, fs=100.0, freq=5.0)
+    # recover the integer sample index before binning: ts*fs alone can land an
+    # ulp below the integer (0.19*100 = 18.999…96) and fall into the wrong bin
+    binned = osc.withColumn("bin_m", F.floor(F.round(F.col("ts") * 100, 0) / 20).cast("bigint"))
+    return binned.groupBy("bin_m").agg(
+        _r6(F.sqrt(F.avg(F.col("value") ** 2))).alias("rms"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "resample_concat",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS g,
+             round(avg(value), 6) AS v FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS g,
+             round(avg(value), 6) AS v FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ), grid AS (
+      SELECT user_id, gg.g
+      FROM (SELECT user_id, min(g) AS g0, max(g) AS g1
+            FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY 1) s,
+           LATERAL unnest(range(s.g0, s.g1 + 1)) AS gg(g)
+    ), fa AS (
+      SELECT g.user_id, g.g,
+             last_value(a.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.g) AS av
+      FROM grid g LEFT JOIN a ON a.user_id = g.user_id AND a.g = g.g
+    ), fb AS (
+      SELECT g.user_id, g.g,
+             last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.g) AS bv
+      FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.g = g.g
+    )
+    SELECT fa.user_id, fa.g AS bin_m, fa.av AS a, fb.bv AS b,
+           round(fa.av + fb.bv, 6) AS sum_ab
+    FROM fa JOIN fb ON fa.user_id = fb.user_id AND fa.g = fb.g
+    WHERE fa.av IS NOT NULL AND fb.bv IS NOT NULL
+    """,
+)
+def resample_concat(spark, sf_dir):
+    """ResampleConcat (resampleconcat.py:1-186): two streams forward-filled
+    onto a shared grid by construction, then concatenated/joined."""
+    ev = _events(spark, sf_dir)
+
+    def stream(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.floor(F.col("ts") / 3600.0).cast("bigint").alias("g"))
+            .agg(_r6(F.avg("value")).alias("v"))
+        )
+
+    a, b = stream("click"), stream("error")
+    both = a.unionByName(b)
+    grid = (
+        both.groupBy("user_id").agg(F.min("g").alias("g0"), F.max("g").alias("g1"))
+        .select("user_id", F.explode(F.sequence("g0", "g1")).alias("g"))
+    )
+    wff = Window.partitionBy("user_id").orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    fa = grid.join(a, on=["user_id", "g"], how="left").withColumn(
+        "a", F.last("v", ignorenulls=True).over(wff)).drop("v")
+    fb = grid.join(b, on=["user_id", "g"], how="left").withColumn(
+        "b", F.last("v", ignorenulls=True).over(wff)).drop("v")
+    j = fa.join(fb, on=["user_id", "g"]).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    return j.select("user_id", F.col("g").alias("bin_m"), "a", "b",
+                    _r6(F.col("a") + F.col("b")).alias("sum_ab"))
+
+
+@q(
+    "digitize_roundtrip",
+    """
+    WITH enc AS (
+      SELECT event_type, value,
+             CAST(floor((greatest(least(value, 500.0), -500.0) - 0.0) / (1000.0 / 65535) + 0.5) AS INTEGER) AS code
+      FROM events
+    )
+    SELECT event_type,
+           round(avg(abs(value - (code * (1000.0 / 65535) + 0.0))), 9) AS mean_abs_err,
+           round(max(abs(value - (code * (1000.0 / 65535) + 0.0))), 9) AS max_abs_err
+    FROM enc WHERE value BETWEEN -500.0 AND 500.0 GROUP BY 1
+    """,
+)
+def digitize_roundtrip(spark, sf_dir):
+    """Digitize inverse map (digitize.py:57-112 attrs): x ≈ code·conversion +
+    offset, quantization error bounded by conversion/2."""
+    ev = _events(spark, sf_dir)
+    conversion = 1000.0 / 65535
+    clipped = mathops.clip(F.col("value"), -500.0, 500.0)
+    code = F.floor((clipped - 0.0) / conversion + 0.5).cast("int")
+    dec = code * conversion + 0.0
+    return (
+        ev.filter(F.col("value").between(-500.0, 500.0))
+        .withColumn("err", F.abs(F.col("value") - dec))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("err"), 9).alias("mean_abs_err"),
+             F.round(F.max("err"), 9).alias("max_abs_err"))
+    )
