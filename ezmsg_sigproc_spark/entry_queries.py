@@ -906,14 +906,15 @@ _MH_K, _MH_N, _MH_BANDS = 5, 8, 4
 def _minhash_sql() -> str:
     rpb = _MH_N // _MH_BANDS
     band_cols = ", ".join(
-        "(" + " || '#' || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb)) + f") AS band{b}"
+        "(" + " || '#' || ".join(f"m{b * rpb + r}" for r in range(rpb)) + f") AS band{b}"
         for b in range(_MH_BANDS)
     )
     band_union = " UNION ALL ".join(
         f"SELECT id, {b} AS band_id, band{b} AS band_sig FROM sigs" for b in range(_MH_BANDS)
     )
-    sig_elems = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}|' || s)))" for j in range(_MH_N)
+    sig_cols = ", ".join(
+        f"min(substr({'h1' if j < 4 else 'h2'}, {(j % 4) * 8 + 1}, 8)) AS m{j}"
+        for j in range(_MH_N)
     )
     return f"""
     WITH sh_t AS (
@@ -921,9 +922,14 @@ def _minhash_sql() -> str:
              list_distinct(list_transform(range(1, length(text) - {_MH_K} + 2),
                                           i -> substr(text, CAST(i AS INTEGER), {_MH_K}))) AS sh
       FROM documents WHERE length(text) >= {_MH_K}
+    ), shx AS (
+      SELECT id, unnest(sh) AS s FROM sh_t
+    ), hashed AS (
+      SELECT id, md5(s) AS h1, md5('#' || s) AS h2 FROM shx
+    ), minsig AS (
+      SELECT id, {sig_cols} FROM hashed GROUP BY id
     ), sigs AS (
-      SELECT id, {band_cols}
-      FROM (SELECT id, [{sig_elems}] AS sig FROM sh_t)
+      SELECT id, {band_cols} FROM minsig
     ), bands AS ({band_union}),
     bounded AS (
       SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_id, band_sig) <= 50

@@ -46,17 +46,27 @@ def shingles_col(text_col: str, k: int = 5):
     )
 
 
-def minhash_signature(shingle_arr, n_hashes: int = 8):
-    """Array of n minhashes: element j = min over shingles of md5(j||shingle)
-    (string min of hex digests — engine-independent ordering)."""
-    def seeded(j: int):
-        # NB: a default-arg lambda (s, j=j) would be read by F.transform as a
-        # binary (element, index) function — capture the seed via a closure.
-        return lambda s: F.md5(F.concat(F.lit(str(j) + "|"), s))
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
+                       n_hashes: int = 8) -> DataFrame:
+    """One row per doc with minhash columns m0..m{n-1}.
 
-    return F.array(
-        *[F.array_min(F.transform(shingle_arr, seeded(j))) for j in range(n_hashes)]
+    Hash family = 8-hex-char (32-bit) slices of md5(shingle) and
+    md5('#'+shingle). Structured as explode → project (2 md5 per shingle,
+    evaluated once — array-lambda forms re-evaluate the md5 per signature
+    element) → groupBy min. String-min over hex slices is engine-independent,
+    so the DuckDB oracle reproduces it exactly.
+    """
+    if n_hashes > 8:
+        raise ValueError("hash family provides 8 independent 32-bit slices")
+    sh = df.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("s")
     )
+    hashed = sh.select("id", F.md5("s").alias("h1"), F.md5(F.concat(F.lit("#"), F.col("s"))).alias("h2"))
+    aggs = [
+        F.min(F.substring("h1" if j < 4 else "h2", (j % 4) * 8 + 1, 8)).alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -73,10 +83,7 @@ def minhash_lsh_candidates(
     signature become a candidate pair. Returns (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = n_hashes // bands
-    sig = (
-        df.filter(F.length(text_col) >= k)
-        .select(F.col(id_col).alias("id"), minhash_signature(shingles_col(text_col, k), n_hashes).alias("sig"))
-    )
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     band_rows = sig.select(
         "id",
         F.explode(
@@ -85,7 +92,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.concat_ws(
-                            "#", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                            "#", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("band_sig"),
                     )
                     for b in range(bands)
