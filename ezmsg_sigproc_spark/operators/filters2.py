@@ -108,11 +108,11 @@ def cheby_sos(order: int, ripple_db: float, wn, btype: str = "lowpass",
     # normalize passband gain: cheby1 peaks at 1 between ripples — anchor the
     # max over the passband; cheby2 is maximally flat at the reference point
     if btype == "lowpass":
-        wref = np.linspace(1e-6, math.pi * float(wn) / fs * 0.9, 64)
+        wref = np.linspace(1e-6, math.pi * float(wn) / fs, 1024)
     elif btype == "highpass":
-        wref = np.linspace(math.pi * (float(wn) / fs + (1 - float(wn) / fs) * 0.1), math.pi - 1e-6, 64)
+        wref = np.linspace(math.pi * float(wn) / fs, math.pi - 1e-6, 1024)
     elif btype == "bandpass":
-        wref = np.linspace(math.pi * float(wn[0]) / fs, math.pi * float(wn[1]) / fs, 64)
+        wref = np.linspace(math.pi * float(wn[0]) / fs, math.pi * float(wn[1]) / fs, 1024)
     else:
         wref = np.array([1e-6, math.pi - 1e-6])
     g = np.max(np.abs(sos_freq_response(sos, wref)))
