@@ -1,0 +1,32 @@
+"""Driver-contract smoke: entry() runs and returns rows; every oracle key has
+a query; a sample of queries returns stable schemas at sf0.001."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 55
+    # the overwhelming majority of operators carry a SQL oracle
+    assert len(oracles) >= 0.7 * len(qs)
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert {"user_id", "bin_m", "n", "min", "max", "mean"} <= set(df.columns)
+
+
+def test_queries_have_unique_column_names(spark, sf_dir):
+    # duplicated output names would break the driver's schema/value compare
+    for name, fn in list(entry_mod.queries().items()):
+        if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+            continue  # exercised in verify harness; heavy
+        df = fn(spark, sf_dir)
+        assert len(df.columns) == len(set(df.columns)), name
