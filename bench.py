@@ -56,6 +56,17 @@ def main():
 
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
 
+    # warm up the JVM (codegen, parquet reader) and the Python worker pool
+    # (pandas import) so per-query numbers measure the queries, not first-use
+    # class loading
+    import pandas as _pd
+
+    ev_warm = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev_warm.groupBy("user_id").count().count()
+    ev_warm.limit(1024).groupBy("user_id").applyInPandas(
+        lambda p: p, schema=ev_warm.schema
+    ).count()
+
     # -- 1. headline operator queries --------------------------------------
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     queries: dict[str, float] = {}

@@ -636,16 +636,17 @@ def butterworth_lowpass(spark, sf_dir):
     return out.select("user_id", "ts", _r6(F.col("filtered")).alias("filtered"))
 
 
-@q("decimate_q4")  # Chebyshev/Butterworth LP + downsample: rows-only
+@q("decimate_q4")  # Chebyshev anti-alias IIR + downsample: rows-only
 def decimate_q4(spark, sf_dir):
-    """Decimate (decimate.py:14-70): lowpass (anti-alias) then every 4th
-    sample by global index."""
+    """Decimate (decimate.py:14-70): the reference's exact composition —
+    cheby1(order=8, ripple 0.05 dB, Wn=0.4·target_rate) anti-alias lowpass,
+    then every 4th sample by global index."""
+    from .operators.downsample import decimate
+
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
-    filt = butterworth(ev, order=8, cutoff=0.4 / 4, fs=2.0, key_cols=["user_id"],
-                       ts_col="ts", value_col="value", out_col="filtered")
-    return downsample(filt, 4, key_cols=["user_id"], ts_col="ts").select(
-        "user_id", "ts", _r6(F.col("filtered")).alias("filtered")
-    )
+    out = decimate(ev, q=4, fs=1.0, key_cols=["user_id"], ts_col="ts",
+                   value_col="value", out_col="decimated")
+    return out.select("user_id", "ts", _r6(F.col("decimated")).alias("decimated"))
 
 
 @q(

@@ -57,3 +57,37 @@ def downsample(
         .filter((F.col("_ds_gidx") % q) == phase)
         .drop("_ds_gidx")
     )
+
+
+def decimate(
+    df: "DataFrame",
+    q: int,
+    fs: float,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "decimated",
+) -> "DataFrame":
+    """Decimate = Chebyshev-I anti-alias lowpass → every-q-th sample.
+
+    Reference ``decimate.py:14-70``: cheby1(order=8, ripple_tol=0.05 dB,
+    Wn=0.4·target_rate) ahead of Downsample; the filter is skipped entirely
+    when the downsample factor is < 2 (``decimate.py:26-31``).
+    """
+    from .filters import apply_series_kernel, sosfilt, sosfilt_zi
+    from .filters2 import cheby_sos
+
+    if q < 2:
+        out = df.withColumn(out_col, F.col(value_col))
+        return downsample(out, q, key_cols, ts_col)
+    target_rate = fs / q
+    sos = cheby_sos(8, 0.05, 0.4 * target_rate, "lowpass", fs=fs, cheby_type="cheby1")
+
+    def kernel(x):
+        if x.size == 0:
+            return x
+        return sosfilt(sos, x, sosfilt_zi(sos) * x[0])
+
+    filt = apply_series_kernel(df, kernel, key_cols=key_cols, ts_col=ts_col,
+                               value_col=value_col, out_col=out_col)
+    return downsample(filt, q, key_cols, ts_col)
