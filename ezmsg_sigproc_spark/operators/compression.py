@@ -36,15 +36,16 @@ from pyspark.sql import DataFrame
 
 class _BitReader:
     def __init__(self, data: bytes, n_bits: int | None = None):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        # one big-int holds the whole stream: a field read is a single shift +
+        # mask (Python big-int shifts are word-wise C loops — far cheaper than
+        # per-bit Python or per-field numpy ops at these block sizes)
+        self._val = int.from_bytes(data, "big")
+        self._total = len(data) * 8
         self.pos = 0
 
     def read_bits(self, n: int) -> int:
-        out = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            out = (out << 1) | int(b)
         self.pos += n
-        return out
+        return (self._val >> (self._total - self.pos)) & ((1 << n) - 1)
 
 
 def _pack_varbits(values: np.ndarray, nbits: np.ndarray) -> bytes:

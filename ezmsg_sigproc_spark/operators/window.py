@@ -73,25 +73,49 @@ def sliding_windows(
     ts_col: str = "ts",
     win_col: str = "win_id",
     drop_partial: bool = True,
+    zero_pad: str = "none",
 ) -> DataFrame:
     """Duplicate each sample into every sliding window covering it.
 
-    Window w spans global indices ``[w*shift, w*shift + win_len)``. A sample at
-    index i belongs to windows ``w ∈ (ceil((i-win_len+1)/shift) … i//shift]``.
+    ``zero_pad`` mirrors the reference's deterministic ``zero_pad_until``
+    modes (window.py:88-98):
+
+    - ``'none'``: window w spans global indices ``[w·shift, w·shift+win_len)``
+      and is emitted once the stream has the full window.
+    - ``'shift'``: the buffer is pre-padded with ``win_len − shift`` zeros, so
+      window w *ends* at index ``(w+1)·shift`` and is emitted once
+      ``(w+1)·shift`` samples exist; leading windows are partial (their
+      zero-pad is virtual — absent rows, the FFT/aggregate kernel's concern).
+
+    (The reference's ``'input'`` mode depends on the first chunk's size — it
+    is non-deterministic under chunking by the reference's own warning
+    (window.py:117-121), so a batch engine deliberately does not offer it.)
+
     Implemented with ``sequence`` + ``explode`` (JVM-side generate, no UDF).
     """
     df = with_global_index(df, key_cols, ts_col, "_sw_gidx")
     # per-key *sample* count must be taken before the explode duplicates rows
     df = df.withColumn("_n", F.count("*").over(Window.partitionBy(*key_cols)))
     i = F.col("_sw_gidx")
-    w_lo = F.greatest(F.ceil((i - F.lit(win_len) + 1) / F.lit(shift)).cast("bigint"), F.lit(0))
-    w_hi = F.floor(i / F.lit(shift)).cast("bigint")
+    if zero_pad == "shift":
+        # sample i ∈ window w ⟺ (w+1)·shift − win_len ≤ i < (w+1)·shift
+        w_lo = F.greatest(F.ceil((i + 1 - F.lit(shift)) / F.lit(shift)).cast("bigint"), F.lit(0))
+        w_hi = F.floor((i + F.lit(win_len) - F.lit(shift)) / F.lit(shift)).cast("bigint")
+        lo_ok = i >= (F.col(win_col) + 1) * shift - win_len
+        hi_ok = i < (F.col(win_col) + 1) * shift
+        emit = (F.col(win_col) + 1) * shift <= F.col("_n")
+    else:
+        w_lo = F.greatest(F.ceil((i - F.lit(win_len) + 1) / F.lit(shift)).cast("bigint"), F.lit(0))
+        w_hi = F.floor(i / F.lit(shift)).cast("bigint")
+        lo_ok = i >= F.col(win_col) * shift
+        hi_ok = i < F.col(win_col) * shift + win_len
+        emit = F.col(win_col) * shift + win_len <= F.col("_n")
     out = (
         df.withColumn(win_col, F.explode(F.sequence(w_lo, w_hi)))
-        .filter((i >= F.col(win_col) * shift) & (i < F.col(win_col) * shift + win_len))
+        .filter(lo_ok & hi_ok)
     )
     if drop_partial:
-        out = out.filter(F.col(win_col) * shift + win_len <= F.col("_n"))
+        out = out.filter(emit)
     return out.drop("_sw_gidx", "_n")
 
 

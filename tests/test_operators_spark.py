@@ -210,3 +210,20 @@ def test_input_immutability(spark):
     df, pdf = _signal_df(spark, n=50)
     _ = downsample(df, 2).count()
     assert df.count() == len(pdf)
+
+
+def test_sliding_windows_zero_pad_shift(spark):
+    """zero_pad='shift' (reference zero_pad_until='shift'): window w ends at
+    (w+1)·shift; leading windows are partial; emitted once shift·(w+1) samples
+    exist."""
+    pdf = pd.DataFrame({"key": ["a"] * 20, "ts": np.arange(20.0),
+                        "value": np.arange(20.0)})
+    df = spark.createDataFrame(pdf)
+    out = (sliding_windows(df, win_len=10, shift=5, zero_pad="shift")
+           .groupBy("win_id").count().toPandas().set_index("win_id").sort_index())
+    # window 0 covers indices [-5, 5) → 5 real samples; window 1: [0,10) → 10;
+    # window 2: [5,15) → 10; window 3: [10,20) → 10
+    assert out.loc[0, "count"] == 5
+    assert out.loc[1, "count"] == 10
+    assert out.loc[3, "count"] == 10
+    assert out.index.max() == 3
