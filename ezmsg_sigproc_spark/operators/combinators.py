@@ -95,3 +95,39 @@ def sampler(
     for k in key_cols:
         cond = cond & (signal[k] == trig[k])
     return signal.join(trig, on=cond, how="inner")
+
+
+def sampler_complete(
+    signal: DataFrame,
+    triggers: DataFrame,
+    pre_s: float,
+    post_s: float,
+    key_cols: Sequence[str] = (),
+    ts_col: str = "ts",
+    trig_ts_col: str = "trig_ts",
+    trigger_id_col: str = "trigger_id",
+) -> DataFrame:
+    """Sampler with the reference's late/early-trigger drop rules
+    (``sampler.py:152-176``): a trigger only emits if its whole window lies
+    within the buffered span — triggers whose window starts before the
+    stream's first sample or ends after its last are dropped (in streaming,
+    such windows never fill; at stream end they never emit)."""
+    span_keys = list(key_cols) if key_cols else []
+    if span_keys:
+        span = signal.groupBy(*span_keys).agg(
+            F.min(F.col(ts_col).cast("double")).alias("_t_min"),
+            F.max(F.col(ts_col).cast("double")).alias("_t_max"),
+        )
+        trig = triggers.join(F.broadcast(span), on=span_keys)
+    else:
+        row = signal.agg(
+            F.min(F.col(ts_col).cast("double")).alias("_t_min"),
+            F.max(F.col(ts_col).cast("double")).alias("_t_max"),
+        )
+        trig = triggers.crossJoin(F.broadcast(row))
+    tt = F.col(trig_ts_col).cast("double")
+    trig = trig.filter(
+        (tt + pre_s >= F.col("_t_min")) & (tt + post_s <= F.col("_t_max"))
+    ).drop("_t_min", "_t_max")
+    return sampler(signal, trig, pre_s, post_s, key_cols, ts_col, trig_ts_col,
+                   trigger_id_col)

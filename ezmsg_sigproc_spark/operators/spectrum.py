@@ -48,22 +48,33 @@ def spectrum(
     value_col: str = "value",
     window_fn: str = "hamming",
     output: str = "power",
+    out_axis: str = "pos",
+    norm: str = "backward",
 ) -> DataFrame:
     """Tumbling-window spectrum: one output row per (key, win_id, freq_idx)
     with ``freq_hz`` and the transformed magnitude.
 
     ``output``: 'power' (|X|²), 'db' (10·log10|X|²), 'real', 'imag', 'abs'.
+    ``out_axis``: 'pos' (rfft, default) or 'full' (two-sided fft) — the
+    reference's SpectralOutput pos/full modes (spectrum.py:135-265).
+    ``norm``: numpy fft norm ∈ {'backward', 'ortho', 'forward'}.
     """
     seg = tumbling_windows(df, win_len, key_cols, ts_col, win_col="win_id", drop_partial=True)
     taps = _WINDOW_FNS[window_fn](win_len)
-    freqs = np.fft.rfftfreq(win_len, d=1.0 / fs)
+    if out_axis == "full":
+        freqs = np.fft.fftfreq(win_len, d=1.0 / fs)
+    else:
+        freqs = np.fft.rfftfreq(win_len, d=1.0 / fs)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["win_id", ts_col], kind="mergesort")
         keys = {c: pdf[c].iloc[0] for c in key_cols}
         n_win = pdf["win_id"].nunique()
         mat = pdf[value_col].to_numpy(np.float64).reshape(n_win, win_len)
-        X = np.fft.rfft(mat * taps[None, :], axis=1)
+        if out_axis == "full":
+            X = np.fft.fft(mat * taps[None, :], axis=1, norm=norm)
+        else:
+            X = np.fft.rfft(mat * taps[None, :], axis=1, norm=norm)
         if output == "power":
             out = np.abs(X) ** 2
         elif output == "db":

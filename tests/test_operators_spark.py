@@ -227,3 +227,29 @@ def test_sliding_windows_zero_pad_shift(spark):
     assert out.loc[1, "count"] == 10
     assert out.loc[3, "count"] == 10
     assert out.index.max() == 3
+
+
+def test_sampler_complete_drops_boundary_triggers(spark):
+    from ezmsg_sigproc_spark.operators.combinators import sampler_complete
+
+    sig = spark.createDataFrame(
+        pd.DataFrame({"ts": np.arange(0.0, 100.0), "value": np.arange(100.0)}))
+    trig = spark.createDataFrame(pd.DataFrame(
+        {"trigger_id": [0, 1, 2], "trig_ts": [0.5, 50.0, 99.5]}))
+    out = sampler_complete(sig, trig, pre_s=-2.0, post_s=3.0).toPandas()
+    # trigger 0 needs ts=-1.5 (before stream) and trigger 2 needs ts=102.5
+    # (after stream) — both dropped per sampler.py:152-176
+    assert set(out["trigger_id"]) == {1}
+    assert len(out) == 5  # ts ∈ [48, 53)
+
+
+def test_spectrum_full_and_ortho(spark):
+    n = 32
+    pdf = pd.DataFrame({"key": "a", "ts": np.arange(n, dtype=float),
+                        "value": np.sin(2 * np.pi * 4 * np.arange(n) / n)})
+    df = spark.createDataFrame(pdf)
+    full = spectrum(df, win_len=n, fs=1.0, window_fn="rect", output="power",
+                    out_axis="full", norm="ortho").toPandas()
+    assert len(full) == n  # two-sided
+    # Parseval under ortho norm: Σ|X|² == Σ|x|²
+    assert full["spec"].sum() == pytest.approx((pdf["value"] ** 2).sum())
