@@ -128,11 +128,23 @@ def main():
     # lowers per-core clocks/bandwidth, capping even a perfectly-scheduled
     # engine below 4×. engine_efficiency = raw speedup / hw-attainable speedup.
     here = os.path.dirname(os.path.abspath(__file__))
+    # the probe gets a 3× larger input than the throughput section: the job
+    # must be long enough at 4N cores that per-job scheduling overhead
+    # (~1-2 s) is noise, or the efficiency ratio measures overhead, not
+    # engine scaling
+    scaling_pages = "/tmp/bench_pages_scaling.parquet"
+    if not os.path.exists(scaling_pages):
+        from ezmsg_sigproc_spark.session import get_spark as _gs
+
+        s2 = _gs(app_name="bench_gen", cores=CPUS)
+        generate_pages(s2, n_urls=PAGES_ROWS_URLS * 3, samples_per_url=PAGES_SAMPLES,
+                       partitions=CPUS * 2).write.mode("overwrite").parquet(scaling_pages)
+        s2.stop()
     scaling = {}
     for cores in (SCALING_N, SCALING_N * 4):
         res = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
-             "--cores", str(cores), "--pages", pages_path],
+             "--cores", str(cores), "--pages", scaling_pages],
             capture_output=True, text=True, timeout=1200,
         )
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
