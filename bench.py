@@ -144,7 +144,7 @@ def main():
     for cores in (SCALING_N, SCALING_N * 4):
         res = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
-             "--cores", str(cores), "--pages", scaling_pages],
+             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "2"],
             capture_output=True, text=True, timeout=1200,
         )
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
