@@ -1703,3 +1703,46 @@ def digitize_roundtrip(spark, sf_dir):
         .agg(F.round(F.avg("err"), 9).alias("mean_abs_err"),
              F.round(F.max("err"), 9).alias("max_abs_err"))
     )
+
+
+@q(
+    "resample_onto_reference",
+    """
+    WITH src AS (
+      SELECT user_id, epoch(ts) AS t, value, 0 AS is_grid
+      FROM events WHERE event_type <> 'view'
+    ), ref AS (
+      SELECT user_id, epoch(ts) AS t, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+      FROM events WHERE event_type = 'view'
+    ), u AS (
+      SELECT * FROM src UNION ALL SELECT * FROM ref
+    ), br AS (
+      SELECT user_id, t, is_grid,
+             last_value(value IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp AS pt,
+             first_value(value IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wn AS nt
+      FROM u
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY t, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t AS ts,
+           round(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   CASE WHEN nt = pt THEN pv ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END
+                 WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
+    FROM br WHERE is_grid = 1
+    """,
+)
+def resample_onto_reference(spark, sf_dir):
+    """Resample onto an external reference clock (resample.py:145-404
+    output_reference mode): the non-'view' signal interpolated onto the
+    'view' events' timestamps."""
+    from .operators.resample import resample_onto
+
+    ev = _events(spark, sf_dir)
+    src = ev.filter(F.col("event_type") != "view").select("user_id", "ts", "value")
+    ref = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = resample_onto(src, ref, key_cols=["user_id"], ts_col="ts", value_col="value")
+    return out.select("user_id", "ts", _r6(F.col("value")).alias("value"))

@@ -110,3 +110,47 @@ def resample_linear(
         .select(*key_cols, F.col("_t").alias(ts_col), F.col("_out").alias(value_col))
     )
     return out
+
+
+def resample_onto(
+    src: DataFrame,
+    reference: DataFrame,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fill: str = "last",
+) -> DataFrame:
+    """Interpolate ``src`` onto *another stream's* clock — the reference's
+    primary mode (``resample.py:145-404`` with ``output_reference``: the grid
+    is the reference stream's timestamps, not a synthesized rate).
+
+    Same union + window-bracket plan as :func:`resample_linear`; the grid rows
+    are the reference's (key, ts) pairs. ``fill='last'`` clamps outside the
+    source span (interp1d fill_value='last'); ``'null'`` leaves them NULL.
+    """
+    t = F.col(ts_col).cast("double")
+    samples = src.select(*key_cols, t.alias("_t"), F.col(value_col).cast("double").alias("_v")) \
+        .withColumn("_is_grid", F.lit(0))
+    grid = reference.select(*key_cols, t.alias("_t")) \
+        .withColumn("_v", F.lit(None).cast("double")).withColumn("_is_grid", F.lit(1))
+    both = samples.unionByName(grid)
+
+    order = [F.col("_t"), F.col("_is_grid")]
+    w_prev = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("_v", ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_prev)
+    next_v = F.first("_v", ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_next)
+    frac = (F.col("_t") - prev_t) / (next_t - prev_t)
+    interp = F.when(
+        prev_v.isNotNull() & next_v.isNotNull(),
+        F.when(next_t == prev_t, prev_v).otherwise(prev_v + (next_v - prev_v) * frac),
+    )
+    if fill == "last":
+        interp = interp.when(prev_v.isNotNull(), prev_v).when(next_v.isNotNull(), next_v)
+    return (
+        both.withColumn("_out", interp)
+        .filter(F.col("_is_grid") == 1)
+        .select(*key_cols, F.col("_t").alias(ts_col), F.col("_out").alias(value_col))
+    )
