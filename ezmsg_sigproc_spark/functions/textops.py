@@ -92,3 +92,14 @@ def fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 fingerprint (near-dup detection at the
     formatting level)."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def extract_body_text(html_binary: Column) -> Column:
+    """Extract the body text from an html payload (binary → utf-8 → regex).
+
+    The training-pipeline extraction step for the `pages` table; paired with
+    the input_hint invariant that the extracted text is byte-identical per
+    url (tested end-to-end in tests/test_rollup_pipeline.py).
+    """
+    s = F.decode(html_binary, "utf-8")
+    return F.regexp_extract(s, r"(?s)<body>(.*)</body>", 1)

@@ -115,3 +115,15 @@ def test_streaming_rollup_matches_batch(spark, pages, tmp_path):
     exp = rollup_base(pages_signal(pages), 60)
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_extract_text_invariant_end_to_end(pages):
+    """input_hint invariant, exercised through the extraction operator: the
+    text extracted from every crawl's html is byte-identical to the stored
+    text, hence byte-identical per url across the whole pipeline."""
+    from ezmsg_sigproc_spark.functions.textops import extract_body_text
+
+    mismatches = pages.select(
+        (extract_body_text(F.col("html")) == F.col("text")).alias("ok")
+    ).filter(~F.col("ok")).count()
+    assert mismatches == 0
