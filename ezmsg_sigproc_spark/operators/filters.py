@@ -210,6 +210,33 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.
     return y
 
 
+def sosfilt_mat(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.ndarray:
+    """SOS cascade over a (n_time, n_ch) matrix — the reference's
+    axis-vectorized execution (``lfilter(..., axis=axis_idx)``): the time
+    recurrence is sequential but every step runs vectorized across all
+    channels, so wide data costs ~the same as one channel.
+
+    ``zi``: (n_sections, 2, n_ch) initial conditions, or None for zeros.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n, _ = x.shape
+    y = x.copy()
+    for s in range(sos.shape[0]):
+        b0, b1, b2, _, a1, a2 = sos[s]
+        z1 = zi[s, 0].copy() if zi is not None else np.zeros(x.shape[1])
+        z2 = zi[s, 1].copy() if zi is not None else np.zeros(x.shape[1])
+        xs = y
+        out = np.empty_like(xs)
+        for i in range(n):
+            xi = xs[i]
+            yi = b0 * xi + z1
+            z1 = b1 * xi - a1 * yi + z2
+            z2 = b2 * xi - a2 * yi
+            out[i] = yi
+        y = out
+    return y
+
+
 def butter_filter_np(x: np.ndarray, order: int, wn, btype: str, fs: float) -> np.ndarray:
     """Design + filter with x0-scaled steady-state zi (reference
     filter.py:362-447: ``zi = sosfilt_zi(sos) * x0`` so DC offset doesn't ring)."""

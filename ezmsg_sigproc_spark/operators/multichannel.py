@@ -93,16 +93,17 @@ def ewma_wide(df: DataFrame, alpha: float, **kw) -> DataFrame:
 
 
 def sosfilt_wide(df: DataFrame, sos: np.ndarray, **kw) -> DataFrame:
-    """SOS cascade across all channels per key (x0-scaled zi per channel)."""
-    from .filters import sosfilt, sosfilt_zi
+    """SOS cascade across all channels per key, x0-scaled zi per channel —
+    channel-vectorized: one time loop drives every channel at once
+    (filters.sosfilt_mat)."""
+    from .filters import sosfilt_mat, sosfilt_zi
 
     zi0 = sosfilt_zi(sos)
 
     def kernel(mat: np.ndarray) -> np.ndarray:
-        out = np.empty_like(mat)
-        for c in range(mat.shape[1]):
-            x = mat[:, c]
-            out[:, c] = sosfilt(sos, x, zi0 * x[0]) if x.size else x
-        return out
+        if mat.size == 0:
+            return mat
+        zi = zi0[:, :, None] * mat[0][None, None, :]
+        return sosfilt_mat(sos, mat, zi)
 
     return apply_matrix_kernel(df, kernel, **kw)

@@ -52,3 +52,18 @@ def test_matrix_kernel_shape_contract(spark, long_df):
     out = apply_matrix_kernel(wide, lambda m: m * 2.0).toPandas()
     row = out.iloc[0]
     np.testing.assert_allclose(np.asarray(row["out"]), np.asarray(row["values"]) * 2.0)
+
+
+def test_sosfilt_wide_matches_per_channel(spark, long_df):
+    from ezmsg_sigproc_spark.operators.filters import butter_filter_np, butter_sos
+    from ezmsg_sigproc_spark.operators.multichannel import sosfilt_wide
+
+    df, pdf = long_df
+    sos = butter_sos(4, 0.1, "lowpass", fs=1.0)
+    wide = long_to_wide(df)
+    out = sosfilt_wide(wide, sos).toPandas().sort_values("ts")
+    mat = np.stack(out["out"].to_numpy())
+    for ci, ch in enumerate(["c0", "c1", "c2"]):
+        series = pdf[pdf.ch == ch].sort_values("ts")["value"].to_numpy()
+        exp = butter_filter_np(series, 4, 0.1, "lowpass", 1.0)
+        np.testing.assert_allclose(mat[:, ci], exp, rtol=1e-10)
