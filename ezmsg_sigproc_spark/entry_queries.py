@@ -61,12 +61,17 @@ def q(name: str, oracle: str | None = None):
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parquet timestamps arrive as TIMESTAMP_NTZ; session tz is UTC so the
-    # NTZ→TZ cast is identity and the double cast yields epoch seconds with
-    # microsecond fraction (≡ DuckDB epoch(ts))
+    # parquet timestamps arrive as TIMESTAMP_NTZ; epoch seconds are computed
+    # with pure NTZ arithmetic (timestampdiff against the NTZ epoch) so the
+    # result equals DuckDB's epoch(ts) regardless of the session timezone —
+    # a cast via TIMESTAMP would silently shift by the driver session's tz
+    epoch = (
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").cast("double")
+        / 1e6
+    )
     return spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
-        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        epoch.alias("ts"),
         "user_id",
         "event_type",
         "value",
