@@ -23,6 +23,13 @@ def _plan(df) -> str:
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Pre-bucketing both sides on the join key removes the exchange — the
     co-located join SCALE.md prescribes for repeated large-large joins."""
+    # a previous session's in-memory catalog is gone but its files remain —
+    # clear the managed locations or saveAsTable trips LOCATION_ALREADY_EXISTS
+    import shutil
+
+    for tbl in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"/tmp/spark-warehouse/{tbl}", ignore_errors=True)
     a = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
     b = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
     a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
