@@ -1751,3 +1751,38 @@ def resample_onto_reference(spark, sf_dir):
     ref = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
     out = resample_onto(src, ref, key_cols=["user_id"], ts_col="ts", value_col="value")
     return out.select("user_id", "ts", _r6(F.col("value")).alias("value"))
+
+
+def _spectrum_dft_oracle() -> str:
+    taps = np.hamming(16)
+    wlist = ", ".join(repr(float(w)) for w in taps)
+    return f"""
+    WITH idx AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS gidx,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), w AS (
+      SELECT user_id,
+             value * ([{wlist}])[(gidx % 16) + 1] AS wv,
+             gidx // 16 AS win_id, gidx % 16 AS pos
+      FROM idx WHERE (gidx // 16 + 1) * 16 <= n
+    )
+    SELECT user_id, win_id, CAST(t.k AS INTEGER) AS freq_idx,
+           round(power(sum(wv * cos(2 * pi() * t.k * pos / 16.0)), 2)
+               + power(sum(wv * sin(2 * pi() * t.k * pos / 16.0)), 2), 6) AS power
+    FROM w, range(0, 9) t(k)
+    GROUP BY 1, 2, 3
+    """
+
+
+@q("spectrum_dft16", _spectrum_dft_oracle())
+def spectrum_dft16(spark, sf_dir):
+    """SpectrumTransformer with an exact SQL oracle: a 16-point hamming-
+    windowed power spectrum is just trig sums, so the DuckDB twin evaluates
+    the DFT directly — the one spectral query whose numbers (not just row
+    counts) are cross-engine verified. |rfft|² ≡ (Σwv·cos)² + (Σwv·sin)²."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    spec = spectrum(ev, win_len=16, fs=1.0, key_cols=["user_id"], ts_col="ts",
+                    value_col="value", window_fn="hamming", output="power")
+    return spec.select("user_id", "win_id", "freq_idx", _r6(F.col("spec")).alias("power"))
