@@ -164,6 +164,12 @@ def main():
     scaling["efficiency_raw"] = round(raw_speedup / 4.0, 3)
     scaling["hw_attainable_efficiency"] = round(attainable_speedup / 4.0, 3)
     scaling["efficiency_engine"] = round(raw_speedup / attainable_speedup, 3)
+    if scaling[f"n{SCALING_N}"]["elapsed"] < 20.0:
+        scaling["scaling_note"] = (
+            "probe job too short at this input size — fixed per-job overhead "
+            "dominates and the efficiency numbers are not meaningful; use the "
+            "default BENCH_PAGES_* sizes"
+        )
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
