@@ -1786,3 +1786,17 @@ def spectrum_dft16(spark, sf_dir):
     spec = spectrum(ev, win_len=16, fs=1.0, key_cols=["user_id"], ts_col="ts",
                     value_col="value", window_fn="hamming", output="power")
     return spec.select("user_id", "win_id", "freq_idx", _r6(F.col("spec")).alias("power"))
+
+
+@q("embedding_ann_ivf")
+def embedding_ann_ivf(spark, sf_dir):
+    """IVF-Flat approximate neighbors (k-means coarse quantizer, 16 cells,
+    3 probed) — the clustered-data scale path next to the LSH variant."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_ivf(emb, probes, k=5, n_cells=16, n_probe_cells=3)
+    return out.select("probe_id", "neighbor_id", _r6(F.col("cos_sim")).alias("cos_sim"), "rank")

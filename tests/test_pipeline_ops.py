@@ -121,3 +121,21 @@ def test_multimodal_decode_plumbing(spark):
     # deterministic
     out2 = decode_media_meta(df, binary_col="payload", keep_cols=("doc_id",)).toPandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    from ezmsg_sigproc_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, probes, k=5).toPandas()
+    ivf = cosine_topk_ivf(emb, probes, k=5, n_cells=8, n_probe_cells=3).toPandas()
+    ex = set(map(tuple, exact[["probe_id", "neighbor_id"]].to_numpy()))
+    iv = set(map(tuple, ivf[["probe_id", "neighbor_id"]].to_numpy()))
+    recall = len(ex & iv) / len(ex)
+    assert recall >= 0.5, recall  # labeled clusters in the fixture favor IVF
+    # scored sims agree exactly where pairs coincide
+    m = ivf.merge(exact, on=["probe_id", "neighbor_id"], suffixes=("_i", "_e"))
+    np.testing.assert_allclose(m["cos_sim_i"], m["cos_sim_e"], rtol=1e-9)
