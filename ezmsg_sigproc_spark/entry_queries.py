@@ -1800,3 +1800,35 @@ def embedding_ann_ivf(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 10)
     out = cosine_topk_ivf(emb, probes, k=5, n_cells=16, n_probe_cells=3)
     return out.select("probe_id", "neighbor_id", _r6(F.col("cos_sim")).alias("cos_sim"), "rank")
+
+
+def _remez_oracle() -> str:
+    from .operators.remez import remez
+
+    taps = remez(21, [(0.0, 0.08), (0.15, 0.5)], [1.0, 0.0], fs=1.0)
+    terms = []
+    for k, w in enumerate(taps):
+        src = "value" if k == 0 else f"coalesce(lag(value, {k}) OVER w, first_value(value) OVER w)"
+        terms.append(f"{w!r} * {src}")
+    expr = " + ".join(terms)
+    return f"""
+    SELECT user_id, epoch(ts) AS ts, round({expr}, 6) AS pmc
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+
+@q("parks_mcclellan_fir", _remez_oracle())
+def parks_mcclellan_fir(spark, sf_dir):
+    """Parks-McClellan equiripple FIR (fir_pmc.py:18-211; Remez exchange
+    implemented from the published algorithm in operators/remez.py), applied
+    causally with x0 edge clamp; oracle expands the optimal taps into lag
+    terms."""
+    from .operators.filters import apply_series_kernel, fir_filter_np
+    from .operators.remez import remez
+
+    taps = remez(21, [(0.0, 0.08), (0.15, 0.5)], [1.0, 0.0], fs=1.0)
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = apply_series_kernel(ev, lambda x: fir_filter_np(x, taps, "causal"),
+                              key_cols=["user_id"], ts_col="ts",
+                              value_col="value", out_col="pmc")
+    return out.select("user_id", "ts", _r6(F.col("pmc")).alias("pmc"))

@@ -132,3 +132,43 @@ def test_adaptive_lattice_notch_tracks_frequency():
     y, freqs = adaptive_lattice_notch(tone, f0_init=0.1, fs=1.0, mu=2e-3)
     assert freqs[-1] == pytest.approx(0.12, abs=1e-3)
     assert np.sqrt(np.mean(y[2000:] ** 2)) < 0.05
+
+
+def test_remez_equiripple_and_beats_window_method():
+    from ezmsg_sigproc_spark.operators.remez import remez
+
+    h = remez(41, [(0.0, 0.1), (0.15, 0.5)], [1.0, 0.0], fs=1.0)
+    w = np.linspace(1e-4, math.pi, 2000)
+    H = np.abs([np.sum(h * np.exp(-1j * om * np.arange(len(h)))) for om in w])
+    pb_dev = max(abs(H[w <= 2 * math.pi * 0.1] - 1).max(), 0)
+    sb_dev = H[w >= 2 * math.pi * 0.15].max()
+    # alternation theorem: equal ripple in both bands (weights 1:1)
+    assert pb_dev == pytest.approx(sb_dev, rel=0.02)
+    # strictly better than the window method at equal taps
+    h2 = firwin(41, 0.125, fs=1.0)
+    H2 = np.abs([np.sum(h2 * np.exp(-1j * om * np.arange(41))) for om in w])
+    assert sb_dev < 0.3 * H2[w >= 2 * math.pi * 0.15].max()
+
+
+def test_remez_weighted_stopband():
+    from ezmsg_sigproc_spark.operators.remez import remez
+
+    h = remez(41, [(0.0, 0.1), (0.15, 0.5)], [1.0, 0.0], weights=[1.0, 10.0], fs=1.0)
+    w = np.linspace(1e-4, math.pi, 2000)
+    H = np.abs([np.sum(h * np.exp(-1j * om * np.arange(len(h)))) for om in w])
+    pb_dev = abs(H[w <= 2 * math.pi * 0.1] - 1).max()
+    sb_dev = H[w >= 2 * math.pi * 0.15].max()
+    # 10x stopband weight → stopband ripple ~10x smaller than passband
+    assert pb_dev / sb_dev == pytest.approx(10.0, rel=0.1)
+
+
+def test_remez_bandpass():
+    from ezmsg_sigproc_spark.operators.remez import remez
+
+    h = remez(61, [(0.0, 0.08), (0.13, 0.27), (0.32, 0.5)], [0.0, 1.0, 0.0], fs=1.0)
+    w = np.linspace(1e-4, math.pi, 2000)
+    H = np.abs([np.sum(h * np.exp(-1j * om * np.arange(len(h)))) for om in w])
+    band = (w >= 2 * math.pi * 0.13) & (w <= 2 * math.pi * 0.27)
+    stop = (w <= 2 * math.pi * 0.08) | (w >= 2 * math.pi * 0.32)
+    assert abs(H[band] - 1).max() < 0.05
+    assert H[stop].max() < 0.05
