@@ -59,8 +59,6 @@ def main():
     # warm up the JVM (codegen, parquet reader) and the Python worker pool
     # (pandas import) so per-query numbers measure the queries, not first-use
     # class loading
-    import pandas as _pd
-
     ev_warm = spark.read.parquet(f"{SF_DIR}/events.parquet")
     ev_warm.groupBy("user_id").count().count()
     ev_warm.limit(1024).groupBy("user_id").applyInPandas(

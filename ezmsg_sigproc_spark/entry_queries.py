@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from .functions import mathops, textops
 from .functions.binning import bin_index_col, bin_index_sql, samples_per_bin
-from .functions.quantize import quantize as quantize_col
 from .operators.aggregate import time_binned_aggregate, trapezoid_aggregate
 from .operators.combinators import sampler
 from .operators.compression import gorilla_compress
