@@ -1831,3 +1831,37 @@ def parks_mcclellan_fir(spark, sf_dir):
                               key_cols=["user_id"], ts_col="ts",
                               value_col="value", out_col="pmc")
     return out.select("user_id", "ts", _r6(F.col("pmc")).alias("pmc"))
+
+
+@q("fbcca_frequency_scores")
+def fbcca_frequency_scores(spark, sf_dir):
+    """FBCCA frequency detection (fbcca.py:29-309): per-window canonical
+    correlation against sin/cos harmonic design matrices; a deterministic
+    tone is injected so the detector has signal to find."""
+    from .operators.fbcca import fbcca
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10).select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gidx = (F.row_number().over(w) - 1).cast("double")
+    # inject a 0.1-cycles/sample tone on top of the event values
+    ev = ev.withColumn("value", F.col("value") / 100.0 + 3.0 * F.sin(2 * math.pi * 0.1 * gidx))
+    out = fbcca(ev, fs=1.0, freqs=[0.05, 0.1, 0.2], win_len=64, harmonics=2,
+                softmax_beta=0.0, key_cols=["user_id"], ts_col="ts", value_col="value")
+    return out.select("user_id", "win_id", "target_freq",
+                      F.round("score", 4).alias("score"))
+
+
+@q("cwt_morlet")
+def cwt_morlet_q(spark, sf_dir):
+    """Morlet CWT (wavelets.py:22-60): |coefficient| per (key, freq, time),
+    summarized as the per-(user, freq) mean."""
+    from .operators.spectrum import cwt_morlet
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10).select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = ev.withColumn("ts", (F.row_number().over(w) - 1).cast("double"))
+    out = cwt_morlet(ev, fs=1.0, freqs=[0.05, 0.1, 0.2], key_cols=["user_id"],
+                     ts_col="ts", value_col="value")
+    return out.groupBy("user_id", "freq_hz").agg(
+        _r6(F.avg("abs_coef")).alias("mean_abs_coef"), F.count("*").alias("n")
+    )

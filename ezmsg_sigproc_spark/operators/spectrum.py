@@ -125,3 +125,54 @@ def band_power(
         value_col="spec",
         band_on="freq_hz",
     )
+
+
+def _morlet_kernel(freq_hz: float, fs: float, n_cycles: float = 5.0) -> np.ndarray:
+    """Complex Morlet wavelet sampled at fs (the pywt 'cmor'-family shape the
+    reference CWT uses, wavelets.py:22-60): exp(j2πft)·exp(−t²/2σ²), σ set so
+    the envelope spans ~n_cycles of the target frequency; L1-normalized."""
+    sigma = n_cycles / (2 * np.pi * freq_hz)
+    half = int(np.ceil(4 * sigma * fs))
+    t = np.arange(-half, half + 1) / fs
+    psi = np.exp(2j * np.pi * freq_hz * t) * np.exp(-0.5 * (t / sigma) ** 2)
+    return psi / np.sum(np.abs(psi))
+
+
+def cwt_morlet(
+    df: DataFrame,
+    fs: float,
+    freqs: Sequence[float],
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous wavelet transform (reference CWTTransformer,
+    wavelets.py:22-60): per-(key, freq, time) |coefficient| via complex Morlet
+    convolution — the filterbank-of-wavelets realization, one vectorized
+    convolution per scale inside the per-key kernel."""
+    import pandas as pd
+
+    kernels = {float(f): _morlet_kernel(float(f), fs) for f in freqs}
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(np.float64)
+        frames = []
+        for f, psi in kernels.items():
+            pad = len(psi) // 2
+            xp = np.concatenate([np.full(pad, x[0] if x.size else 0.0), x,
+                                 np.full(pad, x[-1] if x.size else 0.0)])
+            coef = np.abs(np.convolve(xp, psi, mode="valid"))[: x.size]
+            frames.append(pd.DataFrame({
+                **{c: pdf[c] for c in key_cols},
+                ts_col: pdf[ts_col],
+                "freq_hz": f,
+                "abs_coef": coef,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in key_cols
+    )
+    schema = key_schema + f", {ts_col} double, freq_hz double, abs_coef double"
+    return df.groupBy(*key_cols).applyInPandas(kern, schema=schema)

@@ -253,3 +253,33 @@ def test_spectrum_full_and_ortho(spark):
     assert len(full) == n  # two-sided
     # Parseval under ortho norm: Σ|X|² == Σ|x|²
     assert full["spec"].sum() == pytest.approx((pdf["value"] ** 2).sum())
+
+
+def test_fbcca_detects_injected_tone(spark):
+    from ezmsg_sigproc_spark.operators.fbcca import fbcca
+
+    n = 256
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({
+        "key": "a", "ts": np.arange(n, dtype=float),
+        "value": 2.0 * np.sin(2 * np.pi * 0.1 * np.arange(n)) + 0.5 * rng.standard_normal(n),
+    })
+    df = spark.createDataFrame(pdf)
+    out = fbcca(df, fs=1.0, freqs=[0.05, 0.1, 0.2], win_len=128, harmonics=2,
+                softmax_beta=0.0).toPandas()
+    best = out.loc[out.groupby("win_id")["score"].idxmax()]
+    assert (best["target_freq"] == 0.1).all()
+
+
+def test_cwt_morlet_localizes(spark):
+    from ezmsg_sigproc_spark.operators.spectrum import cwt_morlet
+
+    n = 2000
+    t = np.arange(n) / 250.0
+    x = np.where(t < 4, np.sin(2 * np.pi * 12 * t), np.sin(2 * np.pi * 30 * t))
+    df = spark.createDataFrame(pd.DataFrame({"key": "a", "ts": t, "value": x}))
+    out = cwt_morlet(df, fs=250.0, freqs=[12.0, 30.0]).toPandas()
+    early = out[(out.ts > 1) & (out.ts < 3)]
+    late = out[(out.ts > 5) & (out.ts < 7)]
+    assert early[early.freq_hz == 12.0]["abs_coef"].mean() > 10 * early[early.freq_hz == 30.0]["abs_coef"].mean()
+    assert late[late.freq_hz == 30.0]["abs_coef"].mean() > 10 * late[late.freq_hz == 12.0]["abs_coef"].mean()
