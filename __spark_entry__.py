@@ -9,9 +9,17 @@ Gorilla, LSH-ANN — are rows-only by design).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the package importable however the driver loaded this file (its cwd
+# may not be the repo root)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from ezmsg_sigproc_spark import entry_queries
 
