@@ -1865,3 +1865,81 @@ def cwt_morlet_q(spark, sf_dir):
     return out.groupBy("user_id", "freq_hz").agg(
         _r6(F.avg("abs_coef")).alias("mean_abs_coef"), F.count("*").alias("n")
     )
+
+
+def _pipeline_chain_oracle() -> str:
+    taps = gaussian_kernel(_GAUSS_SIGMA, _GAUSS_DT)
+    m = len(taps) // 2
+    terms = []
+    for j, wt in enumerate(taps):
+        off = j - m
+        if off < 0:
+            src = f"coalesce(lag(value, {-off}) OVER w, first_value(value) OVER w)"
+        elif off > 0:
+            src = f"coalesce(lead(value, {off}) OVER w, last_value(value) OVER wfull)"
+        else:
+            src = "value"
+        terms.append(f"{wt!r} * {src}")
+    smooth = " + ".join(terms)
+    return f"""
+    WITH smoothed AS (
+      SELECT user_id, epoch(ts) AS t, {smooth} AS sv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+             wfull AS (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ), binned AS (
+      SELECT user_id, CAST(floor(t/300.0) AS BIGINT) AS bin_m, avg(sv) AS v
+      FROM smoothed GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.user_id, gg.g AS bin_m
+      FROM (SELECT user_id, min(bin_m) AS b0, max(bin_m) AS b1 FROM binned GROUP BY 1) s,
+           LATERAL unnest(range(s.b0, s.b1 + 1)) AS gg(g)
+    ), br AS (
+      SELECT g.user_id, g.bin_m, b.v,
+             last_value(b.v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN b.v IS NOT NULL THEN g.bin_m END IGNORE NULLS) OVER wp AS pt,
+             first_value(b.v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN b.v IS NOT NULL THEN g.bin_m END IGNORE NULLS) OVER wn AS nt
+      FROM grid g LEFT JOIN binned b USING (user_id, bin_m)
+      WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bin_m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY g.user_id ORDER BY g.bin_m
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bin_m,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   pv + (nv - pv) * CAST(bin_m - pt AS DOUBLE) / (nt - pt)
+                 WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
+    FROM br
+    """
+
+
+@q("pipeline_smooth_rollup_gapfill", _pipeline_chain_oracle())
+def pipeline_smooth_rollup_gapfill(spark, sf_dir):
+    """The composed north-star chain in ONE Catalyst plan: Gaussian FIR smooth
+    (per-key Arrow kernel) → 5-minute mean rollup (JVM partial agg) → linear
+    gap-fill of missing bins (sequence/explode + window brackets) — every
+    stage oracle-checked end-to-end through the composition."""
+    from .operators.resample import resample_linear
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    smoothed = gaussian_smooth(ev, _GAUSS_SIGMA, _GAUSS_DT, key_cols=["user_id"],
+                               ts_col="ts", value_col="value", out_col="sv")
+    binned = (
+        smoothed.withColumn("bin_m", F.floor(F.col("ts") / 300.0).cast("bigint"))
+        .groupBy("user_id", "bin_m")
+        .agg(F.avg("sv").alias("v"))
+    )
+    filled = resample_linear(
+        binned.select("user_id", F.col("bin_m").cast("double").alias("ts"), F.col("v").alias("value")),
+        1.0, key_cols=["user_id"], ts_col="ts", value_col="value", fill="last",
+    )
+    out = filled.join(
+        binned.select("user_id", F.col("bin_m").cast("double").alias("ts"), F.lit(0).alias("filled")),
+        on=["user_id", "ts"], how="left",
+    ).withColumn("filled", F.coalesce(F.col("filled"), F.lit(1)))
+    return out.select("user_id", F.col("ts").cast("bigint").alias("bin_m"),
+                      _r6(F.col("value")).alias("value"), "filled")

@@ -81,15 +81,26 @@ def resample_linear(
 
     both = samples.withColumn("_is_grid", F.lit(0)).unionByName(grid)
 
-    # samples sort before grid points at identical _t so last() picks them up
-    order = [F.col("_t"), F.col("_is_grid")]
-    w_prev = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_next = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    # samples sort before grid points at identical _t so last() picks them up.
+    # NB: the "next" bracket is a running last() over the REVERSED order, not
+    # first() over an unbounded-following frame — Spark recomputes following
+    # frames from scratch per row (O(n²) per key), while running frames are
+    # O(n).
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_t"), F.col("_is_grid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_t").desc(), F.col("_is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     prev_v = F.last("_v", ignorenulls=True).over(w_prev)
     prev_t = F.last(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_prev)
-    next_v = F.first("_v", ignorenulls=True).over(w_next)
-    next_t = F.first(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_next)
+    next_v = F.last("_v", ignorenulls=True).over(w_next)
+    next_t = F.last(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_next)
 
     frac = (F.col("_t") - prev_t) / (next_t - prev_t)
     interp = F.when(
@@ -135,13 +146,21 @@ def resample_onto(
         .withColumn("_v", F.lit(None).cast("double")).withColumn("_is_grid", F.lit(1))
     both = samples.unionByName(grid)
 
-    order = [F.col("_t"), F.col("_is_grid")]
-    w_prev = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_next = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_t"), F.col("_is_grid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # reversed running frame — see resample_linear for the O(n²) rationale
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_t").desc(), F.col("_is_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     prev_v = F.last("_v", ignorenulls=True).over(w_prev)
     prev_t = F.last(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_prev)
-    next_v = F.first("_v", ignorenulls=True).over(w_next)
-    next_t = F.first(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_next)
+    next_v = F.last("_v", ignorenulls=True).over(w_next)
+    next_t = F.last(F.when(F.col("_is_grid") == 0, F.col("_t")), ignorenulls=True).over(w_next)
     frac = (F.col("_t") - prev_t) / (next_t - prev_t)
     interp = F.when(
         prev_v.isNotNull() & next_v.isNotNull(),
