@@ -161,7 +161,16 @@ def main():
     attainable_speedup = 4.0 * hw_hi / hw_lo
     scaling["efficiency_raw"] = round(raw_speedup / 4.0, 3)
     scaling["hw_attainable_efficiency"] = round(attainable_speedup / 4.0, 3)
-    scaling["efficiency_engine"] = round(raw_speedup / attainable_speedup, 3)
+    # clamp at 1: an engine can't beat the hardware; >1 means the calibration
+    # probe itself caught transient load — flag it rather than report it
+    eng = raw_speedup / attainable_speedup
+    scaling["efficiency_engine"] = round(min(eng, 1.0), 3)
+    if eng > 1.05:
+        scaling["calibration_note"] = (
+            "hw calibration measured lower per-core throughput than the Spark "
+            "job achieved — transient host load during the probe; the raw "
+            "number is the trustworthy one for this run"
+        )
     if scaling[f"n{SCALING_N}"]["elapsed"] < 20.0:
         scaling["scaling_note"] = (
             "probe job too short at this input size — fixed per-job overhead "
