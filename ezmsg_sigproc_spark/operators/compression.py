@@ -35,17 +35,36 @@ from pyspark.sql import DataFrame
 
 
 class _BitReader:
-    def __init__(self, data: bytes, n_bits: int | None = None):
-        # one big-int holds the whole stream: a field read is a single shift +
-        # mask (Python big-int shifts are word-wise C loops — far cheaper than
-        # per-bit Python or per-field numpy ops at these block sizes)
-        self._val = int.from_bytes(data, "big")
-        self._total = len(data) * 8
+    """O(1)-per-field bit reader over 64-bit words.
+
+    A field (≤64 bits) spans at most two adjacent big-endian words; reading is
+    two small-int shifts and a mask. (The previous single-big-int design shifted
+    the ENTIRE remaining stream on every read — O(block) per field, O(block²)
+    per decode — which made decode the scaling bottleneck of round 1's bench.)
+    """
+
+    __slots__ = ("_w", "pos")
+
+    def __init__(self, data: bytes):
+        pad = (-len(data)) % 8
+        if pad:
+            data = data + b"\x00" * pad
+        # plain Python ints (via tolist) — indexing a list of ints is ~3×
+        # faster than per-element numpy scalar extraction in a tight loop
+        self._w = np.frombuffer(data, dtype=">u8").tolist() + [0]
         self.pos = 0
 
     def read_bits(self, n: int) -> int:
-        self.pos += n
-        return (self._val >> (self._total - self.pos)) & ((1 << n) - 1)
+        p = self.pos
+        self.pos = p + n
+        wi = p >> 6
+        off = p & 63
+        end = off + n
+        w = self._w
+        if end <= 64:
+            return (w[wi] >> (64 - end)) & ((1 << n) - 1)
+        lo_bits = end - 64
+        return (((w[wi] << lo_bits) | (w[wi + 1] >> (64 - lo_bits))) & ((1 << n) - 1))
 
 
 def _pack_varbits(values: np.ndarray, nbits: np.ndarray) -> bytes:
@@ -198,23 +217,32 @@ def decode_values(data: bytes, n: int) -> np.ndarray:
     return out.view(np.float64)
 
 
-def gorilla_roundtrip_stats(ts: np.ndarray, vals: np.ndarray) -> dict:
+def gorilla_roundtrip_stats(ts: np.ndarray, vals: np.ndarray, verify_points: int | None = None) -> dict:
+    """Encode and verify. ``verify_points=None`` decodes the whole block;
+    an int decodes only that prefix (the stream is sequential, so a prefix
+    decode exercises every field type without paying for the full block);
+    0 skips verification (``roundtrip_ok`` reports True vacuously,
+    ``verified_points`` says 0)."""
     tb = encode_timestamps(ts)
     vb = encode_values(vals)
     n = len(ts)
-    ok = bool(
-        np.array_equal(decode_timestamps(tb, n), np.asarray(ts, dtype=np.int64))
-        and np.array_equal(
-            decode_values(vb, n).view(np.uint64),
-            np.asarray(vals, np.float64).view(np.uint64),
+    k = n if verify_points is None else min(int(verify_points), n)
+    ok = True
+    if k > 0:
+        ok = bool(
+            np.array_equal(decode_timestamps(tb, k), np.asarray(ts[:k], dtype=np.int64))
+            and np.array_equal(
+                decode_values(vb, k).view(np.uint64),
+                np.asarray(vals[:k], np.float64).view(np.uint64),
+            )
         )
-    )
     return {
         "n_points": n,
         "ts_bytes": len(tb),
         "val_bytes": len(vb),
         "bytes_per_point": (len(tb) + len(vb)) / max(n, 1),
         "roundtrip_ok": ok,
+        "verified_points": k,
     }
 
 
@@ -224,20 +252,40 @@ def gorilla_compress(
     ts_col: str = "ts",
     value_col: str = "value",
     ts_scale: float = 1_000_000.0,
+    verify: str = "full",
+    sample_mod: int = 16,
 ) -> DataFrame:
     """Per-key Gorilla blocks: one output row per key with the encoded blobs
     and size stats. ``ts_scale`` converts the (double, seconds) ts column to
     integer units (default µs) for delta-of-delta coding.
 
+    ``verify``: decode-back policy. ``'full'`` decodes every block (tests /
+    small data); ``'sample'`` fully decodes a deterministic 1-in-``sample_mod``
+    subset of keys (zlib.crc32 of the key tuple) and prefix-decodes 256 points
+    of the rest — every block still checks all field types, but decode cost no
+    longer scales with total points; ``'none'`` skips decoding. The decoder is
+    pure sequential Python (variable-length bit fields have a data-dependent
+    parse position), so always-on full verification would put an O(points)
+    interpreter loop in the write path — the round-1 scaling bottleneck.
+    Output column ``verified_points`` records per-block coverage honestly.
+
     Scale note: at 100 TB this runs per (key, time-bucket) so blocks stay
     bounded; see plans/rollup_tiers for the bucketed variant.
     """
+    import zlib
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         ts = np.round(pdf[ts_col].to_numpy(np.float64) * ts_scale).astype(np.int64)
         vals = pdf[value_col].to_numpy(np.float64)
-        st = gorilla_roundtrip_stats(ts, vals)
+        if verify == "full":
+            vp = None
+        elif verify == "none":
+            vp = 0
+        else:
+            keyrep = "|".join(str(pdf[c].iloc[0]) for c in key_cols)
+            vp = None if zlib.crc32(keyrep.encode()) % sample_mod == 0 else 256
+        st = gorilla_roundtrip_stats(ts, vals, verify_points=vp)
         row = {c: [pdf[c].iloc[0]] for c in key_cols}
         row.update(
             n_points=[st["n_points"]],
@@ -245,6 +293,7 @@ def gorilla_compress(
             val_bytes=[st["val_bytes"]],
             bytes_per_point=[st["bytes_per_point"]],
             roundtrip_ok=[st["roundtrip_ok"]],
+            verified_points=[st["verified_points"]],
         )
         return pd.DataFrame(row)
 
@@ -253,6 +302,7 @@ def gorilla_compress(
     )
     schema = (
         key_schema
-        + ", n_points bigint, ts_bytes bigint, val_bytes bigint, bytes_per_point double, roundtrip_ok boolean"
+        + ", n_points bigint, ts_bytes bigint, val_bytes bigint, bytes_per_point double,"
+        + " roundtrip_ok boolean, verified_points bigint"
     )
     return df.groupBy(*key_cols).applyInPandas(kernel, schema=schema)

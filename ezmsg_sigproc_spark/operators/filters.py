@@ -19,10 +19,14 @@ from first principles (public textbook algorithms):
   steady-state init (ports of the published scipy semantics, not of code).
 
 Spark realization: an IIR has unbounded feedback → per-key ordered recurrence
-in ``applyInPandas`` (SURVEY.md §2.3). The numerator (FIR) part of every
-section is vectorized with ``np.convolve``; only the order-2 denominator
-recurrence runs as a scalar loop. FIR filters (Gaussian smoothing, moving
-average) are fully vectorized convolutions.
+in ``applyInPandas`` (SURVEY.md §2.3). There is NO per-sample Python loop in
+the hot path: each biquad's numerator is a vectorized shift-and-add, and the
+order-2 feedback is solved with a Hillis–Steele parallel prefix scan over the
+affine recurrence v_i = A·v_{i-1} + u_i (2×2 companion matrices, O(n log n)
+vectorized numpy ops) — the same parallel-scan linear-recurrence technique the
+reference uses for its GPU IIR (``src/ezmsg/sigproc/filter.py:88-182``;
+algorithm from Blelloch, "Prefix Sums and Their Applications", 1990).
+FIR filters (Gaussian smoothing, moving average) are vectorized convolutions.
 """
 
 from __future__ import annotations
@@ -186,10 +190,9 @@ def sosfilt_zi(sos: np.ndarray) -> np.ndarray:
     return zi
 
 
-def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.ndarray:
-    """Cascade of direct-form-II-transposed biquads. The FIR numerator of each
-    section is vectorized (np.convolve); only the order-2 feedback recurrence
-    is a scalar loop."""
+def _sosfilt_loop(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.ndarray:
+    """Reference per-sample DF2T loop (1-D). Kept as the independent oracle
+    for the scan implementation and for tiny inputs where loop overhead wins."""
     y = np.asarray(x, dtype=np.float64).copy()
     n = y.size
     if n == 0:
@@ -210,30 +213,114 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.
     return y
 
 
+def _biquad_scan(coef, x: np.ndarray, z1i, z2i) -> np.ndarray:
+    """One DF2T biquad over ``x`` of shape (n, m), fully vectorized.
+
+    The DF2T recurrence with initial conditions (z1i, z2i) is algebraically
+    identical to the direct-form recurrence
+        y_i = f_i - a1·y_{i-1} - a2·y_{i-2},   y_{-1} = y_{-2} = 0,
+    with forcing  f_0 = b0·x_0 + z1i,  f_1 = b0·x_1 + b1·x_0 + z2i,
+    f_i = b0·x_i + b1·x_{i-1} + b2·x_{i-2}  (i ≥ 2).
+
+    The AR(2) feedback is solved with a Hillis–Steele inclusive scan over
+    affine maps v_i = A·v_{i-1} + [f_i, 0], A = [[-a1, -a2], [1, 0]]: each
+    doubling step is a vectorized batch of 2×2 matrix products, so the whole
+    recurrence is O(n log n) numpy FLOPs with zero per-sample Python.
+    Chunked over time (carrying the boundary state exactly via A^k terms the
+    scan already produces) so peak memory stays ~32 MB regardless of n·m.
+    """
+    b0, b1, b2, a1, a2 = coef
+    n, m = x.shape
+    f = b0 * x
+    if n > 1:
+        f[1:] += b1 * x[:-1]
+    if n > 2:
+        f[2:] += b2 * x[:-2]
+    f[0] += z1i
+    if n > 1:
+        f[1] += z2i
+    y = np.empty_like(f)
+    yp1 = np.zeros(m)  # y_{-1}
+    yp2 = np.zeros(m)  # y_{-2}
+    chunk = int(max(64, min(n, (1 << 21) // max(m, 1))))
+    for lo in range(0, n, chunk):
+        fc = f[lo : lo + chunk]
+        k = fc.shape[0]
+        # P_i: 2×2 companion-matrix products kept as four flat arrays so every
+        # doubling step is pure elementwise FMA (batched np.matmul on 2×2
+        # stacks is ~10× slower — dispatch overhead dominates tiny matrices)
+        p00 = np.full(k, -a1)
+        p01 = np.full(k, -a2)
+        p10 = np.ones(k)
+        p11 = np.zeros(k)
+        flat = m == 1
+        c0 = fc[:, 0].copy() if flat else fc.copy()
+        c1 = np.zeros_like(c0)
+        d = 1
+        while d < k:
+            a00, a01, a10, a11 = p00[d:], p01[d:], p10[d:], p11[d:]
+            b00, b01, b10, b11 = p00[:-d], p01[:-d], p10[:-d], p11[:-d]
+            u0, u1 = c0[:-d], c1[:-d]
+            if flat:
+                c0n = c0[d:] + a00 * u0 + a01 * u1
+                c1n = c1[d:] + a10 * u0 + a11 * u1
+            else:
+                c0n = c0[d:] + a00[:, None] * u0 + a01[:, None] * u1
+                c1n = c1[d:] + a10[:, None] * u0 + a11[:, None] * u1
+            q00 = a00 * b00 + a01 * b10
+            q01 = a00 * b01 + a01 * b11
+            q10 = a10 * b00 + a11 * b10
+            q11 = a10 * b01 + a11 * b11
+            c0[d:], c1[d:] = c0n, c1n
+            p00[d:], p01[d:], p10[d:], p11[d:] = q00, q01, q10, q11
+            d <<= 1
+        # v_i = c_i + A^{i+1} v_{-1}; (p00, p01) hold A^{i+1}'s top row
+        if flat:
+            yc = (c0 + p00 * yp1[0] + p01 * yp2[0])[:, None]
+        else:
+            yc = c0 + p00[:, None] * yp1 + p01[:, None] * yp2
+        y[lo : lo + k] = yc
+        if k >= 2:
+            yp1, yp2 = yc[-1].copy(), yc[-2].copy()
+        else:
+            yp1, yp2 = yc[-1].copy(), yp1
+    return y
+
+
+def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.ndarray:
+    """Cascade of direct-form-II-transposed biquads over a 1-D series.
+    Vectorized: numerator as shift-and-add, feedback via parallel prefix scan
+    (``_biquad_scan``); no per-sample Python in the hot path."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    if n == 0:
+        return x.copy()
+    if n < 64:
+        return _sosfilt_loop(sos, x, zi)
+    y = x.reshape(n, 1)
+    for s in range(sos.shape[0]):
+        z1 = float(zi[s, 0]) if zi is not None else 0.0
+        z2 = float(zi[s, 1]) if zi is not None else 0.0
+        b0, b1, b2, _, a1, a2 = sos[s]
+        y = _biquad_scan((b0, b1, b2, a1, a2), y, z1, z2)
+    return y[:, 0]
+
+
 def sosfilt_mat(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.ndarray:
     """SOS cascade over a (n_time, n_ch) matrix — the reference's
-    axis-vectorized execution (``lfilter(..., axis=axis_idx)``): the time
-    recurrence is sequential but every step runs vectorized across all
-    channels, so wide data costs ~the same as one channel.
+    axis-vectorized execution (``lfilter(..., axis=axis_idx)``), here fully
+    vectorized across BOTH time (prefix scan) and channels.
 
     ``zi``: (n_sections, 2, n_ch) initial conditions, or None for zeros.
     """
     x = np.asarray(x, dtype=np.float64)
-    n, _ = x.shape
+    n, m = x.shape
     y = x.copy()
     for s in range(sos.shape[0]):
         b0, b1, b2, _, a1, a2 = sos[s]
-        z1 = zi[s, 0].copy() if zi is not None else np.zeros(x.shape[1])
-        z2 = zi[s, 1].copy() if zi is not None else np.zeros(x.shape[1])
-        xs = y
-        out = np.empty_like(xs)
-        for i in range(n):
-            xi = xs[i]
-            yi = b0 * xi + z1
-            z1 = b1 * xi - a1 * yi + z2
-            z2 = b2 * xi - a2 * yi
-            out[i] = yi
-        y = out
+        z1 = zi[s, 0] if zi is not None else np.zeros(m)
+        z2 = zi[s, 1] if zi is not None else np.zeros(m)
+        y = _biquad_scan((b0, b1, b2, a1, a2), y, z1, z2)
     return y
 
 

@@ -30,6 +30,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing is byte-based, but pandas-UDF stages cost per ROW
+        # (Python worker + per-group Arrow overhead): with the default 1 MB
+        # minPartitionSize a small shuffle collapses to ONE task and every
+        # applyInPandas group runs serially on a single core (measured 5× on
+        # the sf0.1 IIR/EWMA queries). parallelismFirst stays on; a 16 KB
+        # floor lets tiny shuffles keep core-count parallelism while at real
+        # scale partitions are far above either threshold, so this is a no-op
+        # on a 1000-executor cluster.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

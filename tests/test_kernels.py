@@ -168,3 +168,48 @@ def test_gorilla_special_floats():
     ts = np.array([0, 10, 20, 30], dtype=np.int64)
     vals = np.array([np.nan, np.inf, -np.inf, 0.0])
     assert gorilla_roundtrip_stats(ts, vals)["roundtrip_ok"]
+
+
+def test_gorilla_prefix_and_sampled_verify():
+    rng = np.random.default_rng(7)
+    n = 3000
+    ts = np.cumsum(rng.integers(1, 1000, size=n)).astype(np.int64)
+    vals = rng.standard_normal(n).cumsum()
+    st = gorilla_roundtrip_stats(ts, vals, verify_points=256)
+    assert st["roundtrip_ok"] and st["verified_points"] == 256
+    st0 = gorilla_roundtrip_stats(ts, vals, verify_points=0)
+    assert st0["verified_points"] == 0
+    stf = gorilla_roundtrip_stats(ts, vals)
+    assert stf["roundtrip_ok"] and stf["verified_points"] == n
+
+
+# ------------------------------------------------------------- scan IIR ----
+
+def test_sosfilt_scan_matches_per_sample_loop():
+    """The prefix-scan biquad must agree with the straight per-sample DF2T
+    loop (independent implementations) across orders, band types, sizes, and
+    chunk boundaries."""
+    from ezmsg_sigproc_spark.operators.filters import _sosfilt_loop, butter_sos, sosfilt_mat
+
+    rng = np.random.default_rng(3)
+    for order, btype, wn in [(2, "lowpass", 0.1), (4, "highpass", 0.2),
+                             (8, "bandpass", (0.05, 0.3)), (4, "bandstop", (0.3, 0.1))]:
+        if btype == "bandstop":
+            sos = butter_sos(order, (0.1, 0.3), "bandstop")
+        else:
+            sos = butter_sos(order, wn, btype)
+        for n in (1, 5, 63, 64, 65, 1000, 5000):
+            x = rng.standard_normal(n).cumsum()
+            zi = sosfilt_zi(sos) * x[0]
+            ref = _sosfilt_loop(sos, x, zi)
+            got = sosfilt(sos, x, zi)
+            scale = max(1.0, np.max(np.abs(ref)))
+            np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9 * scale)
+    # matrix path, ragged zi per channel
+    sos = butter_sos(4, 0.1, "lowpass")
+    X = rng.standard_normal((777, 5)).cumsum(axis=0)
+    zi = np.stack([sosfilt_zi(sos) * X[0, j] for j in range(5)], axis=-1)
+    Y = sosfilt_mat(sos, X, zi)
+    for j in range(5):
+        ref = _sosfilt_loop(sos, X[:, j], sosfilt_zi(sos) * X[0, j])
+        np.testing.assert_allclose(Y[:, j], ref, rtol=0, atol=1e-9 * max(1.0, np.max(np.abs(ref))))
