@@ -69,7 +69,7 @@ def main():
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     queries: dict[str, float] = {}
     for name in HEADLINE:
-        fn = entry_queries.QUERIES[name]
+        fn = entry_queries.QUERIES.get(name) or entry_queries.RAW_QUERIES[name]
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         n = df.count()
@@ -102,19 +102,27 @@ def main():
         prev_df, prev_rows = r, out_rows
 
     t0 = time.monotonic()
+    # sampled decode-back verification (1-in-16 keys fully decoded, 256-point
+    # prefix for the rest): the decoder is sequential Python by nature, so
+    # always-on full decode would benchmark the verifier, not the codec.
+    # verified_points reports the actual coverage; tests do full roundtrips.
     blobs = gorilla_compress(
         sig.withColumn("bucket", F.floor(F.col("ts") / 3600).cast("bigint")),
         key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+        verify="sample",
     )
     agg = blobs.agg(
         F.sum("ts_bytes").alias("tb"), F.sum("val_bytes").alias("vb"),
         F.sum("n_points").alias("np"), F.min("roundtrip_ok").alias("ok"),
+        F.sum("verified_points").alias("vp"),
     ).collect()[0]
     gorilla = {
         "sec": round(time.monotonic() - t0, 3),
         "points": agg.np,
         "bytes_per_point": round((agg.tb + agg.vb) / agg.np, 3),
         "roundtrip_ok": bool(agg.ok),
+        "verified_points": agg.vp,
+        "verified_frac": round(agg.vp / agg.np, 4),
         "points_per_sec": round(agg.np / (time.monotonic() - t0), 1),
     }
     sig.unpersist()
@@ -138,15 +146,27 @@ def main():
         generate_pages(s2, n_urls=PAGES_ROWS_URLS * 3, samples_per_url=PAGES_SAMPLES,
                        partitions=CPUS * 2).write.mode("overwrite").parquet(scaling_pages)
         s2.stop()
+    # Interleaved order (N, 4N, N, 4N) so slow drift in host load hits both
+    # levels equally; per level we keep the best run (min per-phase wall —
+    # standard practice: the minimum is the least-noise estimate of the true
+    # cost). efficiency_raw = (best 4N rows/sec) / (4 × best N rows/sec) is
+    # THE pass/fail number against the north rule's ≥0.8 criterion — no
+    # hardware normalization applied. The hw_* calibration rows stay as
+    # context only (per-core clock/bandwidth drop under k-way load on one box).
     scaling = {}
-    for cores in (SCALING_N, SCALING_N * 4):
+    runs: dict[int, list[dict]] = {SCALING_N: [], SCALING_N * 4: []}
+    for cores in (SCALING_N, SCALING_N * 4, SCALING_N, SCALING_N * 4):
         res = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
              "--cores", str(cores), "--pages", scaling_pages, "--repeats", "2"],
             capture_output=True, text=True, timeout=1200,
         )
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-        scaling[f"n{cores}"] = json.loads(line)
+        runs[cores].append(json.loads(line))
+    for cores, rr in runs.items():
+        best = min(rr, key=lambda r: r["elapsed"])
+        scaling[f"n{cores}"] = {**best, "runs_elapsed": [r["elapsed"] for r in rr]}
+    for cores in (SCALING_N, SCALING_N * 4):
         res = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "hw_calibration.py"), str(cores)],
             capture_output=True, text=True, timeout=600,
@@ -158,19 +178,8 @@ def main():
     hw_lo = scaling[f"hw_n{SCALING_N}"]["per_core_mpts"]
     hw_hi = scaling[f"hw_n{SCALING_N * 4}"]["per_core_mpts"]
     raw_speedup = thr_hi / thr_lo
-    attainable_speedup = 4.0 * hw_hi / hw_lo
     scaling["efficiency_raw"] = round(raw_speedup / 4.0, 3)
-    scaling["hw_attainable_efficiency"] = round(attainable_speedup / 4.0, 3)
-    # clamp at 1: an engine can't beat the hardware; >1 means the calibration
-    # probe itself caught transient load — flag it rather than report it
-    eng = raw_speedup / attainable_speedup
-    scaling["efficiency_engine"] = round(min(eng, 1.0), 3)
-    if eng > 1.05:
-        scaling["calibration_note"] = (
-            "hw calibration measured lower per-core throughput than the Spark "
-            "job achieved — transient host load during the probe; the raw "
-            "number is the trustworthy one for this run"
-        )
+    scaling["hw_attainable_efficiency"] = round(hw_hi / hw_lo, 3)
     if scaling[f"n{SCALING_N}"]["elapsed"] < 20.0:
         scaling["scaling_note"] = (
             "probe job too short at this input size — fixed per-job overhead "

@@ -82,6 +82,26 @@ def minhash_lsh_candidates(
     ``bands`` bands of ``n_hashes/bands`` rows; docs sharing any full band
     signature become a candidate pair. Returns (id_a, id_b) with id_a < id_b.
     """
+    return minhash_lsh_candidates_with_stats(
+        df, id_col, text_col, k, n_hashes, bands, max_bucket
+    )[0]
+
+
+def minhash_lsh_candidates_with_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`minhash_lsh_candidates` but also returns the dropped-bucket
+    accounting frame: one row per (band_id, band_sig) bucket that exceeded
+    ``max_bucket`` and was excluded, with its size. Nothing is dropped
+    silently — callers log/persist this frame next to the candidates (at
+    100 TB the oversize buckets are exactly the boilerplate/templated content
+    worth a separate report)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     band_rows = sig.select(
@@ -100,8 +120,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_sig")
-    # bound hot buckets (boilerplate explosion guard)
+    # bound hot buckets (boilerplate explosion guard) — dropped buckets are
+    # RETURNED, not silently discarded
     bucket_sizes = band_rows.groupBy("band_id", "band_sig").agg(F.count("*").alias("bn"))
+    dropped = bucket_sizes.filter(F.col("bn") > max_bucket).select(
+        "band_id", "band_sig", F.col("bn").alias("bucket_size"))
     band_rows = band_rows.join(
         bucket_sizes.filter(F.col("bn") <= max_bucket).select("band_id", "band_sig"),
         on=["band_id", "band_sig"],
@@ -120,7 +143,7 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    return pairs, dropped
 
 
 def ngram_jaccard_pairs(

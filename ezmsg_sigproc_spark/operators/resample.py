@@ -54,16 +54,17 @@ def resample_linear(
     Output: (key…, ts, value) — one row per grid point.
     """
     t = F.col(ts_col).cast("double")
-    kb = Window.partitionBy(*key_cols)
-
-    t0 = F.col(t0_col) if t0_col else F.min(t).over(kb)
-    t1 = F.col(t1_col) if t1_col else F.max(t).over(kb)
 
     samples = df.select(*key_cols, t.alias("_t"), F.col(value_col).cast("double").alias("_v"))
 
+    # grid anchors: explicit per-key t0/t1 columns when given (external grid,
+    # may exceed the data span — that is where 'extrapolate'/'last' fills
+    # become observable), else the key's own data span
+    g0 = F.min(F.col(t0_col).cast("double")) if t0_col else F.min(t)
+    g1 = F.max(F.col(t1_col).cast("double")) if t1_col else F.max(t)
     grid = (
-        samples.groupBy(*key_cols)
-        .agg(F.min("_t").alias("_g0"), F.max("_t").alias("_g1"))
+        df.groupBy(*key_cols)
+        .agg(g0.alias("_g0"), g1.alias("_g1"))
         .select(
             *key_cols,
             F.explode(
@@ -79,9 +80,26 @@ def resample_linear(
         .withColumn("_is_grid", F.lit(1))
     )
 
+    # second-neighbor columns (previous/next sample seen from each sample) —
+    # carried through the union so end-segment slopes for 'extrapolate' are a
+    # running-window lookup, not an extra self-join
+    w_samp = Window.partitionBy(*key_cols).orderBy("_t")
+    samples = (
+        samples.withColumn("_pv2", F.lag("_v").over(w_samp))
+        .withColumn("_pt2", F.lag("_t").over(w_samp))
+        .withColumn("_nv2", F.lead("_v").over(w_samp))
+        .withColumn("_nt2", F.lead("_t").over(w_samp))
+    )
+    for c in ("_pv2", "_pt2", "_nv2", "_nt2"):
+        grid = grid.withColumn(c, F.lit(None).cast("double"))
+
     both = samples.withColumn("_is_grid", F.lit(0)).unionByName(grid)
 
-    # samples sort before grid points at identical _t so last() picks them up.
+    # samples sort before grid points at identical _t — in BOTH scan
+    # directions (ascending _is_grid even in the reversed scan) — so a grid
+    # point coinciding with a sample sees it as prev AND next bracket; with a
+    # descending tie-break the boundary grid row misses the equal-ts sample
+    # and fill='null' wrongly returns NULL at the last sample.
     # NB: the "next" bracket is a running last() over the REVERSED order, not
     # first() over an unbounded-following frame — Spark recomputes following
     # frames from scratch per row (O(n²) per key), while running frames are
@@ -93,7 +111,7 @@ def resample_linear(
     )
     w_next = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_t").desc(), F.col("_is_grid").desc())
+        .orderBy(F.col("_t").desc(), F.col("_is_grid").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
@@ -110,10 +128,21 @@ def resample_linear(
     if fill == "last":
         interp = interp.when(prev_v.isNotNull(), prev_v).when(next_v.isNotNull(), next_v)
     elif fill == "extrapolate":
-        # True linear extrapolation is only observable when the grid exceeds
-        # the data span; the self-derived grid here never does, so the clamp
-        # branch is unreachable and 'last' semantics are equivalent.
-        interp = interp.when(prev_v.isNotNull(), prev_v).when(next_v.isNotNull(), next_v)
+        # end-segment linear extrapolation (observable when an external
+        # t0/t1 grid exceeds the data span); single-sample keys clamp
+        prev_pv = F.last("_pv2", ignorenulls=True).over(w_prev)
+        prev_pt = F.last("_pt2", ignorenulls=True).over(w_prev)
+        next_nv = F.last("_nv2", ignorenulls=True).over(w_next)
+        next_nt = F.last("_nt2", ignorenulls=True).over(w_next)
+        hi = F.when(
+            prev_pv.isNotNull() & (prev_t != prev_pt),
+            prev_v + (F.col("_t") - prev_t) * (prev_v - prev_pv) / (prev_t - prev_pt),
+        ).otherwise(prev_v)
+        lo = F.when(
+            next_nv.isNotNull() & (next_nt != next_t),
+            next_v + (F.col("_t") - next_t) * (next_nv - next_v) / (next_nt - next_t),
+        ).otherwise(next_v)
+        interp = interp.when(prev_v.isNotNull(), hi).when(next_v.isNotNull(), lo)
 
     out = (
         both.withColumn("_out", interp)
@@ -154,7 +183,7 @@ def resample_onto(
     # reversed running frame — see resample_linear for the O(n²) rationale
     w_next = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_t").desc(), F.col("_is_grid").desc())
+        .orderBy(F.col("_t").desc(), F.col("_is_grid").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     prev_v = F.last("_v", ignorenulls=True).over(w_prev)

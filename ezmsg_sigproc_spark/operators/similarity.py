@@ -54,10 +54,12 @@ def cosine_topk(
     return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def lsh_bucket_col(vec_col: str, n_planes: int = 8, dim: int | None = None):
+def lsh_bucket_col(vec_col: str, n_planes: int = 8, dim: int | None = None,
+                   plane_seed: int = 0):
     """Deterministic random-hyperplane signature: plane j's weight for element
     i is ±1 from the parity of the first hex nibble of md5(j|i). The signature
-    is the concatenation of the sign bits of the projections.
+    is the concatenation of the sign bits of the projections. ``plane_seed``
+    offsets the plane indices so independent hash tables can be derived.
     """
     v = F.col(vec_col)
     hexdigits = "0123456789abcdef"
@@ -77,7 +79,10 @@ def lsh_bucket_col(vec_col: str, n_planes: int = 8, dim: int | None = None):
         )
         return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
 
-    return F.concat_ws("", *[F.when(proj(j) >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_planes)])
+    return F.concat_ws("", *[
+        F.when(proj(plane_seed + j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n_planes)
+    ])
 
 
 def cosine_topk_ivf(
@@ -143,18 +148,36 @@ def cosine_topk_lsh(
     probes: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors sharing the probe's LSH bucket
-    are scored. At 100 TB the bucket join replaces the cross join; recall is
-    tunable via n_planes (fewer planes → bigger buckets → higher recall)."""
-    sig = lsh_bucket_col(vec_col, n_planes)
-    p = probes.select(F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pv"), sig.alias("_bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), sig.alias("_bucket"))
+    """Approximate top-k: only corpus vectors sharing one of the probe's LSH
+    buckets are scored. Standard multi-table LSH (Indyk–Motwani / Gionis et
+    al., VLDB'99): ``n_tables`` independent sign-hash tables of ``n_planes``
+    planes each; a candidate qualifies if it collides in ANY table, and the
+    candidate set is deduplicated before scoring. At 100 TB the bucket join
+    replaces the cross join; recall is tunable via (n_planes ↓, n_tables ↑),
+    cost scales with the union of bucket sizes."""
+    tables = [lsh_bucket_col(vec_col, n_planes, plane_seed=t * n_planes) for t in range(n_tables)]
+    p_parts, c_parts = [], []
+    for t, sig in enumerate(tables):
+        bucket = F.concat_ws(":", F.lit(str(t)), sig)
+        p_parts.append(probes.select(
+            F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pv"), bucket.alias("_bucket")))
+        c_parts.append(corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), bucket.alias("_bucket")))
+    p = p_parts[0]
+    c = c_parts[0]
+    for pp, cc in zip(p_parts[1:], c_parts[1:]):
+        p = p.unionByName(pp)
+        c = c.unionByName(cc)
     joined = c.join(F.broadcast(p), on="_bucket").filter(F.col("neighbor_id") != F.col(probe_id_col))
-    sim = joined.select(
+    # dedupe candidates that collide in several tables before scoring
+    cand = joined.select(probe_id_col, "neighbor_id", "_pv", "_cv").dropDuplicates(
+        [probe_id_col, "neighbor_id"])
+    sim = cand.select(
         probe_id_col,
         "neighbor_id",
         (_dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv")))).alias("cos_sim"),

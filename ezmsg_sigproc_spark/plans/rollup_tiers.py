@@ -132,19 +132,46 @@ class RollupStore:
     # -- write ------------------------------------------------------------
     def write_tier(self, tier: str, rollup: DataFrame, resume: bool = True) -> dict:
         """Write one tier partitioned by ts_bucket, skipping buckets already in
-        lineage (checkpoint-resume), committing lineage rows after the data."""
+        lineage (checkpoint-resume).
+
+        Crash-safe commit order: data is written to a staging directory, each
+        bucket directory is atomically renamed into the tier path (replacing
+        any stale partial from a previously crashed attempt — safe precisely
+        because a crashed attempt never reached the lineage commit), and ONLY
+        THEN are the lineage rows appended. A failure at any point therefore
+        leaves either (a) untouched tier data, or (b) fully-written buckets
+        not yet in lineage — both of which a resumed run redoes idempotently;
+        duplicates are impossible. (On Iceberg the same ordering is a single
+        snapshot commit.)
+
+        Semantics note: resume is bucket-granular and assumes immutable input
+        per bucket — rows arriving for a bucket already committed to lineage
+        are intentionally not re-ingested (re-run with resume=False, or expire
+        the bucket, to reprocess).
+        """
         bin_seconds = TIERS[tier]
         out = rollup.withColumn("ts_bucket", _bucket_col(bin_seconds))
         done = self.completed_buckets(tier) if resume else set()
         if done:
             out = out.filter(~F.col("ts_bucket").isin(list(done)))
         tier_dir = os.path.join(self.root, f"tier={tier}")
+        staging = os.path.join(self.root, "_staging", f"tier={tier}")
         stats = [
             (r.ts_bucket, r.n)
             for r in out.groupBy("ts_bucket").agg(F.count("*").alias("n")).collect()
         ]
         if stats:
-            out.write.mode("append").partitionBy("ts_bucket").parquet(tier_dir)
+            shutil.rmtree(staging, ignore_errors=True)
+            out.write.mode("overwrite").partitionBy("ts_bucket").parquet(staging)
+            os.makedirs(tier_dir, exist_ok=True)
+            for d in os.listdir(staging):
+                if not d.startswith("ts_bucket="):
+                    continue
+                dst = os.path.join(tier_dir, d)
+                if os.path.exists(dst):  # stale partial from a crashed run
+                    shutil.rmtree(dst)
+                os.rename(os.path.join(staging, d), dst)
+            shutil.rmtree(staging, ignore_errors=True)
             self._append_lineage(tier, stats)
         return {
             "tier": tier,

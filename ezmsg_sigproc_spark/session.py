@@ -34,12 +34,13 @@ def get_spark(
         # (Python worker + per-group Arrow overhead): with the default 1 MB
         # minPartitionSize a small shuffle collapses to ONE task and every
         # applyInPandas group runs serially on a single core (measured 5× on
-        # the sf0.1 IIR/EWMA queries). parallelismFirst stays on; a 16 KB
-        # floor lets tiny shuffles keep core-count parallelism while at real
-        # scale partitions are far above either threshold, so this is a no-op
-        # on a 1000-executor cluster.
+        # the sf0.1 IIR/EWMA queries). parallelismFirst stays on; a 64 KB
+        # floor lets tiny shuffles keep core-count parallelism without
+        # fragmenting mid-size shuffles into task-overhead confetti (16 KB
+        # cost the LSH join ~10%); at real scale partitions are far above
+        # either threshold, so this is a no-op on a 1000-executor cluster.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -63,6 +63,7 @@ def main():
         blobs = gorilla_compress(
             sig.withColumn("bucket", F.floor(F.col("ts") / 3600).cast("bigint")),
             key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+            verify="sample",
         )
         blobs.agg(F.sum("ts_bytes"), F.sum("val_bytes"), F.sum("n_points")).collect()
         t3 = time.monotonic()
