@@ -98,12 +98,21 @@ def sliding_windows(
     df = df.withColumn("_n", F.count("*").over(Window.partitionBy(*key_cols)))
     i = F.col("_sw_gidx")
     if zero_pad == "shift":
-        # sample i ∈ window w ⟺ (w+1)·shift − win_len ≤ i < (w+1)·shift
-        w_lo = F.greatest(F.ceil((i + 1 - F.lit(shift)) / F.lit(shift)).cast("bigint"), F.lit(0))
-        w_hi = F.floor((i + F.lit(win_len) - F.lit(shift)) / F.lit(shift)).cast("bigint")
-        lo_ok = i >= (F.col(win_col) + 1) * shift - win_len
-        hi_ok = i < (F.col(win_col) + 1) * shift
-        emit = (F.col(win_col) + 1) * shift <= F.col("_n")
+        # reference zero_pad_until='shift': the buffer is pre-padded with
+        # n_keep = max(win_len − shift, 0) zeros and windows slide from padded
+        # index 0 with stride `shift`, so window w covers STREAM indices
+        # [w·shift − n_keep, w·shift − n_keep + win_len). For win ≥ shift this
+        # is the ends-at-(w+1)·shift rule; for shift > win the pad is empty
+        # and windows START at multiples of shift (the w=0 window is [0, win)).
+        n_keep = max(win_len - shift, 0)
+        w_lo = F.greatest(
+            F.ceil((i + 1 - F.lit(win_len) + F.lit(n_keep)) / F.lit(shift)).cast("bigint"),
+            F.lit(0),
+        )
+        w_hi = F.floor((i + F.lit(n_keep)) / F.lit(shift)).cast("bigint")
+        lo_ok = i >= F.col(win_col) * shift - n_keep
+        hi_ok = i < F.col(win_col) * shift - n_keep + win_len
+        emit = F.col(win_col) * shift - n_keep + win_len <= F.col("_n")
     else:
         w_lo = F.greatest(F.ceil((i - F.lit(win_len) + 1) / F.lit(shift)).cast("bigint"), F.lit(0))
         w_hi = F.floor(i / F.lit(shift)).cast("bigint")
