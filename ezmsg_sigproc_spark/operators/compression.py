@@ -139,30 +139,33 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
 
 def decode_timestamps(data: bytes, n: int) -> np.ndarray:
     r = _BitReader(data)
-    out = np.empty(n, dtype=np.int64)
-    t0 = r.read_bits(64)
-    out[0] = np.int64(np.uint64(t0))
+    rb = r.read_bits
+    t0 = rb(64)
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    out = [t0]
     if n == 1:
-        return out
-    d = r.read_bits(64)
-    delta = np.int64(np.uint64(d))
-    out[1] = out[0] + delta
-    for i in range(2, n):
-        if r.read_bits(1) == 0:
-            dod = 0
+        return np.array(out, dtype=np.int64)
+    delta = rb(64)
+    if delta >= 1 << 63:
+        delta -= 1 << 64
+    t = t0 + delta
+    out.append(t)
+    for _ in range(n - 2):
+        if rb(1) == 0:
+            pass
+        elif rb(1) == 0:
+            delta += rb(8) - 64
+        elif rb(1) == 0:
+            delta += rb(10) - 256
+        elif rb(1) == 0:
+            delta += rb(13) - 2048
         else:
-            if r.read_bits(1) == 0:
-                dod = r.read_bits(8) - 64
-            elif r.read_bits(1) == 0:
-                dod = r.read_bits(10) - 256
-            elif r.read_bits(1) == 0:
-                dod = r.read_bits(13) - 2048
-            else:
-                v = r.read_bits(64)
-                dod = v - (1 << 64) if v >= (1 << 63) else v
-        delta += dod
-        out[i] = out[i - 1] + delta
-    return out
+            v = rb(64)
+            delta += v - (1 << 64) if v >= (1 << 63) else v
+        t += delta
+        out.append(t)
+    return np.array(out, dtype=np.int64)
 
 
 def encode_values(vals: np.ndarray) -> bytes:
@@ -198,23 +201,23 @@ def encode_values(vals: np.ndarray) -> bytes:
 
 def decode_values(data: bytes, n: int) -> np.ndarray:
     r = _BitReader(data)
-    out = np.empty(n, dtype=np.uint64)
-    out[0] = r.read_bits(64)
+    rb = r.read_bits
+    cur = rb(64)
+    out = [cur]
     lead, tail = 65, 0
-    for i in range(1, n):
-        if r.read_bits(1) == 0:
-            out[i] = out[i - 1]
+    for _ in range(n - 1):
+        if rb(1) == 0:
+            out.append(cur)
             continue
-        if r.read_bits(1) == 0:
+        if rb(1) == 0:
             nb = 64 - lead - tail
-            x = r.read_bits(nb) << tail
         else:
-            lead = r.read_bits(5)
-            nb = r.read_bits(6) + 1
+            lead = rb(5)
+            nb = rb(6) + 1
             tail = 64 - lead - nb
-            x = r.read_bits(nb) << tail
-        out[i] = out[i - 1] ^ np.uint64(x)
-    return out.view(np.float64)
+        cur ^= rb(nb) << tail
+        out.append(cur)
+    return np.array(out, dtype=np.uint64).view(np.float64)
 
 
 def gorilla_roundtrip_stats(ts: np.ndarray, vals: np.ndarray, verify_points: int | None = None) -> dict:
@@ -261,7 +264,7 @@ def gorilla_compress(
 
     ``verify``: decode-back policy. ``'full'`` decodes every block (tests /
     small data); ``'sample'`` fully decodes a deterministic 1-in-``sample_mod``
-    subset of keys (zlib.crc32 of the key tuple) and prefix-decodes 256 points
+    subset of keys (zlib.crc32 of the key tuple) and prefix-decodes 64 points
     of the rest — every block still checks all field types, but decode cost no
     longer scales with total points; ``'none'`` skips decoding. The decoder is
     pure sequential Python (variable-length bit fields have a data-dependent
@@ -284,7 +287,7 @@ def gorilla_compress(
             vp = 0
         else:
             keyrep = "|".join(str(pdf[c].iloc[0]) for c in key_cols)
-            vp = None if zlib.crc32(keyrep.encode()) % sample_mod == 0 else 256
+            vp = None if zlib.crc32(keyrep.encode()) % sample_mod == 0 else 64
         st = gorilla_roundtrip_stats(ts, vals, verify_points=vp)
         row = {c: [pdf[c].iloc[0]] for c in key_cols}
         row.update(

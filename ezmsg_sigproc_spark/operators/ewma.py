@@ -15,12 +15,12 @@ Reference semantics:
 - ``DetrendTransformer`` (``detrend.py:10-19``): ``x - EWMA(x)``.
 
 Spark realization: an IIR recurrence has unbounded feedback, so this is the
-documented pandas-UDF slow path (SURVEY.md §2.3): ``applyInPandas`` over
-``groupBy(key)``, kernel sorts by ts and runs a *vectorized* O(n) numpy
-computation (blockwise-rescaled cumulative sums — no per-row Python). On a
-cluster each key's series is processed by exactly one task; parallelism =
-number of keys, which at web scale (millions of urls) saturates any executor
-count.
+documented pandas-UDF slow path (SURVEY.md §2.3), lifted at PARTITION level
+(``serieslift.group_apply_sorted``): one mapInPandas over key-partitioned,
+(key, ts)-sorted data, so Python is entered per Arrow batch rather than per
+key, and the kernel — a *vectorized* O(n) blockwise-rescaled cumulative sum,
+no per-row Python — still sees each key's complete ordered series. On a
+cluster parallelism = partitions; millions of urls spread evenly.
 """
 
 from __future__ import annotations
@@ -105,7 +105,9 @@ def ewma(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} double"
     kernel = _ewma_kernel_factory(alpha, ts_col, [value_col], [out_col])
-    return df.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
+    from .serieslift import group_apply_sorted
+
+    return group_apply_sorted(df, kernel, key_cols, ts_col, schema)
 
 
 def detrend(
@@ -154,4 +156,6 @@ def adaptive_standard_scaler(
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} double"
-    return df.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
+    from .serieslift import group_apply_sorted
+
+    return group_apply_sorted(df, kernel, key_cols, ts_col, schema)

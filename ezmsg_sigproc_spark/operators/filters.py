@@ -309,7 +309,9 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.
 def sosfilt_mat(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> np.ndarray:
     """SOS cascade over a (n_time, n_ch) matrix — the reference's
     axis-vectorized execution (``lfilter(..., axis=axis_idx)``), here fully
-    vectorized across BOTH time (prefix scan) and channels.
+    vectorized across BOTH time (prefix scan) and channels. Short chunks
+    (n < 128, e.g. the reference's 30-sample online blocks) use the per-step
+    channel-vectorized loop instead — fewer temporaries wins at that size.
 
     ``zi``: (n_sections, 2, n_ch) initial conditions, or None for zeros.
     """
@@ -318,9 +320,20 @@ def sosfilt_mat(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) ->
     y = x.copy()
     for s in range(sos.shape[0]):
         b0, b1, b2, _, a1, a2 = sos[s]
-        z1 = zi[s, 0] if zi is not None else np.zeros(m)
-        z2 = zi[s, 1] if zi is not None else np.zeros(m)
-        y = _biquad_scan((b0, b1, b2, a1, a2), y, z1, z2)
+        z1 = zi[s, 0].copy() if zi is not None else np.zeros(m)
+        z2 = zi[s, 1].copy() if zi is not None else np.zeros(m)
+        if n < 128:
+            out = np.empty_like(y)
+            xs = y
+            for i in range(n):
+                xi = xs[i]
+                yi = b0 * xi + z1
+                z1 = b1 * xi - a1 * yi + z2
+                z2 = b2 * xi - a2 * yi
+                out[i] = yi
+            y = out
+        else:
+            y = _biquad_scan((b0, b1, b2, a1, a2), y, z1, z2)
     return y
 
 
@@ -380,7 +393,9 @@ def apply_series_kernel(
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} double"
-    return df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+    from .serieslift import group_apply_sorted
+
+    return group_apply_sorted(df, fn, key_cols, ts_col, schema)
 
 
 def butterworth(

@@ -283,3 +283,43 @@ def test_cwt_morlet_localizes(spark):
     late = out[(out.ts > 5) & (out.ts < 7)]
     assert early[early.freq_hz == 12.0]["abs_coef"].mean() > 10 * early[early.freq_hz == 30.0]["abs_coef"].mean()
     assert late[late.freq_hz == 30.0]["abs_coef"].mean() > 10 * late[late.freq_hz == 12.0]["abs_coef"].mean()
+
+
+def test_group_apply_sorted_equals_applyinpandas(spark):
+    """serieslift.group_apply_sorted (partition-level lift, carry across Arrow
+    batches) must agree exactly with groupBy().applyInPandas for a per-key
+    ordered kernel — including keys whose rows straddle batch boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from ezmsg_sigproc_spark.operators.serieslift import group_apply_sorted
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for k in range(40):  # ragged series lengths force boundary straddles
+        n = int(rng.integers(1, 400))
+        frames.append(pd.DataFrame({
+            "key": f"k{k:02d}", "ts": np.arange(n, dtype=float),
+            "value": rng.standard_normal(n)}))
+    full = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=0)
+    df = spark.createDataFrame(full, "key string, ts double, value double")
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        pdf["out"] = pdf["value"].cumsum()  # order-sensitive
+        return pdf
+
+    schema = "key string, ts double, value double, out double"
+    a = group_apply_sorted(df, kern, ["key"], "ts", schema).toPandas()
+    b = df.groupBy("key").applyInPandas(kern, schema).toPandas()
+    a = a.sort_values(["key", "ts"]).reset_index(drop=True)
+    b = b.sort_values(["key", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # small-batch path: force many Arrow batches so carries actually happen
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        c = group_apply_sorted(df, kern, ["key"], "ts", schema).toPandas()
+        c = c.sort_values(["key", "ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(c, b)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -127,3 +127,41 @@ def test_extract_text_invariant_end_to_end(pages):
         (extract_body_text(F.col("html")) == F.col("text")).alias("ok")
     ).filter(~F.col("ok")).count()
     assert mismatches == 0
+
+
+def test_store_crash_between_data_and_lineage_no_duplicates(spark, tmp_path):
+    """Crash-safety of the staged commit (ADVICE r1): if the job dies after
+    the bucket files land but BEFORE the lineage commit, the resumed run must
+    overwrite those buckets, not append to them — row counts stay exact."""
+    from ezmsg_sigproc_spark.plans.rollup_tiers import pages_signal, rollup_base
+
+    pages = generate_pages(spark, n_urls=10, samples_per_url=2000)
+    store = RollupStore(spark, str(tmp_path / "lake"))
+    r1m = rollup_base(pages_signal(pages), 60)
+    expected = r1m.count()
+
+    # simulated crash: data committed, lineage append dies
+    orig_append = store._append_lineage
+
+    def boom(tier, stats):
+        raise RuntimeError("simulated crash before lineage commit")
+
+    store._append_lineage = boom
+    try:
+        store.write_tier("1m", r1m, resume=True)
+    except RuntimeError:
+        pass
+    assert store.completed_buckets("1m") == set()  # nothing in lineage
+    # the data directory DOES contain the orphaned buckets at this point
+    assert spark.read.parquet(str(tmp_path / "lake" / "tier=1m")).count() == expected
+
+    # resumed run: redoes every bucket idempotently (overwrite, not append)
+    store._append_lineage = orig_append
+    m = store.write_tier("1m", r1m, resume=True)
+    assert m["buckets_skipped"] == 0 and m["buckets_written"] > 0
+    assert store.read_tier("1m").count() == expected
+
+    # and a further resume skips everything
+    m2 = store.write_tier("1m", r1m, resume=True)
+    assert m2["buckets_written"] == 0
+    assert store.read_tier("1m").count() == expected
