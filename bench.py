@@ -134,10 +134,11 @@ def main():
     # lowers per-core clocks/bandwidth, capping even a perfectly-scheduled
     # engine below 4×. engine_efficiency = raw speedup / hw-attainable speedup.
     here = os.path.dirname(os.path.abspath(__file__))
-    # the probe gets a 9× larger input than the throughput section: the
-    # dominant phase (JVM tiered rollup) must be long enough at 4N cores that
-    # per-job scheduling overhead (~0.5 s) is noise, or the efficiency ratio
-    # measures overhead, not engine scaling
+    # the probe gets a 9× larger input (9× the urls) than the throughput
+    # section: the job must be long enough at 4N cores that per-job
+    # scheduling overhead (~0.5 s) is noise, and the many-url layout is the
+    # web-scale regime (per-key kernels bounded by key count, not series
+    # length)
     scaling_pages = "/tmp/bench_pages_scaling9.parquet"
     if not os.path.exists(scaling_pages):
         from ezmsg_sigproc_spark.session import get_spark as _gs
