@@ -11,7 +11,10 @@ Python is entered once per Arrow batch (64k rows), each batch is grouped
 in-memory with pandas, and a key whose rows straddle a batch boundary is
 carried into the next batch — so every kernel invocation still sees the key's
 COMPLETE series in ts order, exactly like applyInPandas, at a fraction of the
-crossing cost. Same shuffle count (one hash exchange either way).
+crossing cost. Same shuffle count (one hash exchange either way). (Batching
+the engine↔UDF boundary is the central lever in "Accelerating Python UDFs in
+Vectorized Query Execution", CIDR'22 — this is that idea applied to Spark's
+grouped-map path.)
 """
 
 from __future__ import annotations

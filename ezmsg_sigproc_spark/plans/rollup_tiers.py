@@ -5,12 +5,15 @@ Physical design (SURVEY.md §7, BASELINE.json north_rule):
 
 - **Decomposable partials.** Each tier stores ``(n, sum, min, max, sum_sq)``
   per (url, bin). 1h re-aggregates the 1m *partials* (sum of n/sum/sum_sq,
-  min of min, max of max), 1d re-aggregates 1h — no re-scan of raw pages.
+  min of min, max of max), 1d re-aggregates 1h — no re-scan of raw pages
+  (the "factor windows" rewrite of correlated window aggregates, ICDE'22:
+  coarser windows computed from finer factor windows).
   mean = sum/n and std = sqrt(sum_sq/n − mean²) are derived at read time, so
   every tier's points match a direct computation from raw data exactly.
 - **Range-bucket partitioning on warc_ts.** Output parquet is partitioned by
   ``ts_bucket`` (hours for 1m tier, days above); at 10^12 rows this is what
-  partition pruning and retention expiry operate on. (Iceberg's
+  partition pruning and retention expiry operate on (range encoding for
+  partition elimination, EDBT'18). (Iceberg's
   ``hours(warc_ts)`` partition transform is the cluster-deployment analog;
   the sandbox stand-in is hive-style parquet partitions.)
 - **Retention expiry** = dropping whole ts_bucket partitions — an O(1)
