@@ -186,6 +186,38 @@ class RollupStore:
     def read_tier(self, tier: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, f"tier={tier}"))
 
+    # -- late data --------------------------------------------------------
+    def reopen_buckets(self, tier: str, buckets: list[int]) -> int:
+        """Reopen committed buckets for reprocessing (late-arriving rows):
+        drop the bucket directories AND their lineage rows, so the next
+        resumed run re-ingests exactly those buckets. The lineage table is
+        rewritten via temp-dir + atomic swap (same crash-safety discipline as
+        write_tier: a failure leaves either the old lineage or the new one,
+        never a half state — though a crash after the data drop and before
+        the swap means the reopened buckets are simply re-done, which is the
+        intended outcome anyway). Returns the number of buckets reopened."""
+        buckets = [int(b) for b in buckets]
+        if not buckets:
+            return 0
+        tier_dir = os.path.join(self.root, f"tier={tier}")
+        for b in buckets:
+            shutil.rmtree(os.path.join(tier_dir, f"ts_bucket={b}"), ignore_errors=True)
+        if not os.path.isdir(self.lineage_dir) or not os.listdir(self.lineage_dir):
+            return len(buckets)
+        lin = self.spark.read.parquet(self.lineage_dir)
+        kept = lin.filter(
+            ~((F.col("tier") == tier) & F.col("ts_bucket").isin(buckets))
+        )
+        tmp = self.lineage_dir + "._rewrite"
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self.lineage_dir + "._old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.lineage_dir, old)
+        os.rename(tmp, self.lineage_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(buckets)
+
     # -- retention --------------------------------------------------------
     def expire(self, tier: str, keep_buckets_from: int) -> list[int]:
         """Drop partitions with ts_bucket < keep_buckets_from (O(1) per
@@ -237,3 +269,41 @@ def run_tiered_rollup(
     r1m.unpersist()
     r1h.unpersist()
     return metrics
+
+
+def read_resolution(
+    store: "RollupStore",
+    bin_seconds: int,
+    t0: float | None = None,
+    t1: float | None = None,
+) -> DataFrame:
+    """Continuous-aggregate READ path: serve a query at ``bin_seconds``
+    resolution from the coarsest stored tier that divides it, re-aggregating
+    partials if the requested grid is coarser than the tier's.
+
+    Tier choice: the largest tier T with T ≤ bin_seconds and bin_seconds % T
+    == 0 (so tier bins compose exactly into requested bins). Time bounds
+    [t0, t1) prune on the hive ``ts_bucket`` partition column FIRST — at
+    10^12 rows that is the difference between touching two directories and
+    scanning the lake — then on bin_m.
+
+    Returns finalized rows (url, bin_m, bin_ts, n, sum, min, max, mean, std)
+    on the requested grid.
+    """
+    candidates = [(name, sec) for name, sec in TIERS.items()
+                  if sec <= bin_seconds and bin_seconds % sec == 0]
+    if not candidates:
+        raise ValueError(
+            f"no stored tier divides bin_seconds={bin_seconds}; tiers: {TIERS}")
+    tier, tier_sec = max(candidates, key=lambda kv: kv[1])
+    df = store.read_tier(tier)
+    per = 3600 if tier_sec < 3600 else 86400
+    if t0 is not None:
+        df = df.filter(F.col("ts_bucket") >= int(t0 // per))
+        df = df.filter(F.col("bin_m") * tier_sec >= t0)
+    if t1 is not None:
+        df = df.filter(F.col("ts_bucket") <= int(t1 // per))
+        df = df.filter(F.col("bin_m") * tier_sec < t1)
+    factor = bin_seconds // tier_sec
+    rolled = rollup_next(df, factor) if factor > 1 else df.drop("ts_bucket")
+    return finalize(rolled, bin_seconds)

@@ -4,6 +4,7 @@ retention expiry, pages invariants, streaming/batch agreement."""
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -165,3 +166,80 @@ def test_store_crash_between_data_and_lineage_no_duplicates(spark, tmp_path):
     m2 = store.write_tier("1m", r1m, resume=True)
     assert m2["buckets_written"] == 0
     assert store.read_tier("1m").count() == expected
+
+
+def test_read_resolution_tier_routing(spark, tmp_path):
+    """read_resolution serves a requested grid from the coarsest dividing
+    tier, with values identical to recomputing from raw, and ts bounds
+    pruning on the partition column."""
+    from ezmsg_sigproc_spark.plans.rollup_tiers import (
+        finalize,
+        pages_signal,
+        read_resolution,
+        rollup_base,
+    )
+
+    pages = generate_pages(spark, n_urls=15, samples_per_url=3000)
+    store = RollupStore(spark, str(tmp_path / "lake"))
+    run_tiered_rollup(spark, pages, store=store, resume=True)
+    sig = pages_signal(pages)
+
+    # 5-minute grid → served from the 1m tier re-aggregated ×5
+    got = read_resolution(store, 300).toPandas().sort_values(["url", "bin_m"])
+    exp = finalize(rollup_base(sig, 300), 300).toPandas().sort_values(["url", "bin_m"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True),
+                                  check_exact=False, rtol=1e-12)
+
+    # 1-hour grid → served from the 1h tier directly
+    got_h = read_resolution(store, 3600).toPandas().sort_values(["url", "bin_m"])
+    exp_h = finalize(rollup_base(sig, 3600), 3600).toPandas().sort_values(["url", "bin_m"])
+    pd.testing.assert_frame_equal(got_h.reset_index(drop=True), exp_h.reset_index(drop=True),
+                                  check_exact=False, rtol=1e-12)
+
+    # bounded read: [t0, t1) restricts the grid
+    tmin = float(sig.agg(F.min("ts")).collect()[0][0])
+    got_b = read_resolution(store, 300, t0=tmin + 600, t1=tmin + 1800).toPandas()
+    assert got_b.bin_ts.min() >= tmin + 600 - 300  # bin containing t0
+    assert got_b.bin_ts.max() < tmin + 1800
+    # non-dividing resolution is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_resolution(store, 90)
+
+
+def test_reopen_buckets_reingests_late_rows(spark, tmp_path):
+    """Late rows for a committed bucket: reopen_buckets drops the bucket +
+    its lineage rows; the next resumed run re-ingests it with the late data
+    included, everything else skipped."""
+    import datetime as dt
+
+    from ezmsg_sigproc_spark.plans.rollup_tiers import pages_signal, rollup_base
+
+    pages = generate_pages(spark, n_urls=10, samples_per_url=2000)
+    store = RollupStore(spark, str(tmp_path / "lake"))
+    r1m = rollup_base(pages_signal(pages), 60)
+    store.write_tier("1m", r1m, resume=True)
+    buckets = sorted(store.completed_buckets("1m"))
+    target = buckets[0]
+
+    # late data: double every row in the target bucket's hour
+    sig = pages_signal(pages)
+    late = sig.filter(F.floor(F.col("ts") / 3600) == target)
+    n_late_bins = rollup_base(late, 60).count()
+    assert n_late_bins > 0
+    augmented = rollup_base(sig.unionByName(late), 60)
+
+    n = store.reopen_buckets("1m", [target])
+    assert n == 1
+    assert target not in store.completed_buckets("1m")
+
+    m = store.write_tier("1m", augmented, resume=True)
+    assert m["buckets_written"] == 1 and m["buckets_skipped"] == len(buckets) - 1
+
+    got = store.read_tier("1m")
+    exp = augmented
+    assert got.count() == exp.count()
+    # the reopened bucket's counts reflect the doubled rows
+    g = got.filter(F.col("ts_bucket") == target).agg(F.sum("n")).collect()[0][0]
+    e = exp.filter(F.floor(F.col("bin_m") * 60 / 3600) == target).agg(F.sum("n")).collect()[0][0]
+    assert g == e
