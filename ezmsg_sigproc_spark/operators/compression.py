@@ -308,4 +308,10 @@ def gorilla_compress(
         + ", n_points bigint, ts_bytes bigint, val_bytes bigint, bytes_per_point double,"
         + " roundtrip_ok boolean, verified_points bigint"
     )
-    return df.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
+    # partition-level lift: blocks are numerous and small at scale (one per
+    # (key, time-bucket)), so the per-group Arrow crossing of plain
+    # applyInPandas dominates; group_apply_sorted enters Python once per
+    # Arrow batch instead (see serieslift module docstring)
+    from .serieslift import group_apply_sorted
+
+    return group_apply_sorted(df, kernel, key_cols, ts_col, schema)

@@ -16,11 +16,13 @@ Reference semantics:
 
 Spark realization: an IIR recurrence has unbounded feedback, so this is the
 documented pandas-UDF slow path (SURVEY.md §2.3), lifted at PARTITION level
-(``serieslift.group_apply_sorted``): one mapInPandas over key-partitioned,
-(key, ts)-sorted data, so Python is entered per Arrow batch rather than per
-key, and the kernel — a *vectorized* O(n) blockwise-rescaled cumulative sum,
-no per-row Python — still sees each key's complete ordered series. On a
-cluster parallelism = partitions; millions of urls spread evenly.
+with KEY BATCHING (``serieslift.apply_matrix_kernel``): one mapInPandas over
+key-partitioned, (key, ts)-sorted data; every Arrow batch's keys are pivoted
+into one (time × keys) matrix and the blockwise-rescaled cumulative-sum
+kernel runs ONCE per batch, vectorized across both time and keys — no
+per-row Python AND no per-key Python. The EWMA is causal, so tail
+zero-padding of the ragged pivot cannot affect valid outputs. On a cluster
+parallelism = partitions; millions of urls spread evenly.
 """
 
 from __future__ import annotations
@@ -40,41 +42,49 @@ def alpha_from_tau(tau: float, dt: float) -> float:
 
 
 def ewma_corrected_np(x: np.ndarray, alpha: float) -> np.ndarray:
-    """Bias-corrected EWMA of a 1-D float64 array (global index 0-based).
+    """Bias-corrected EWMA along axis 0 of a 1-D or 2-D float64 array
+    (global index 0-based per column).
 
     Computes ``S_t = Σ_{j≤t} (1-α)^(t-j) x_j`` and ``W_t = (1-(1-α)^(t+1))/α``
     via block-rescaled cumulative sums: within a block of B samples,
     ``S_t = (1-α)^t · cumsum(x_j (1-α)^{-j})`` stays in float range because B
     is capped so ``(1-α)^{-B}`` cannot overflow; the carry between blocks is a
-    single scalar recurrence step. Vectorized O(n), no Python per-row loop.
+    single vectorized recurrence step. O(n) numpy, no Python per-row loop;
+    a 2-D input is many independent series as columns (each column's float
+    operation sequence is identical to the 1-D call, so results agree
+    bitwise whenever the series fits one rescale block).
     """
     x = np.asarray(x, dtype=np.float64)
-    n = x.size
+    flat = x.ndim == 1
+    if flat:
+        x = x[:, None]
+    n = x.shape[0]
     if n == 0:
-        return x
+        return x[:, 0].copy() if flat else x.copy()
     beta = 1.0 - alpha
     if beta <= 0.0:
-        return x.copy()
+        return x[:, 0].copy() if flat else x.copy()
     # block size: keep beta**-B < 1e250
     max_b = int(250 / -math.log10(beta)) if beta < 1.0 else n
     B = max(1, min(n, max_b, 65536))
-    out = np.empty(n, dtype=np.float64)
-    carry = 0.0  # S_{t-1} entering the block
+    out = np.empty_like(x)
+    carry = np.zeros(x.shape[1])  # S_{t-1} entering the block
     pos = 0
     while pos < n:
         blk = x[pos : pos + B]
-        m = blk.size
+        m = blk.shape[0]
         j = np.arange(m, dtype=np.float64)
-        inv = beta ** (-j)
-        s = (beta**j) * np.cumsum(blk * inv)
-        if carry != 0.0:
-            s = s + carry * beta ** (j + 1.0)
+        inv = (beta ** (-j))[:, None]
+        s = (beta**j)[:, None] * np.cumsum(blk * inv, axis=0)
+        if np.any(carry != 0.0):
+            s = s + carry[None, :] * (beta ** (j + 1.0))[:, None]
         out[pos : pos + m] = s
-        carry = s[-1]
+        carry = s[-1].copy()
         pos += m
     t = np.arange(1, n + 1, dtype=np.float64)
-    w = (1.0 - beta**t) / alpha
-    return out / w
+    w = ((1.0 - beta**t) / alpha)[:, None]
+    out = out / w
+    return out[:, 0] if flat else out
 
 
 def _ewma_kernel_factory(alpha: float, ts_col: str, value_cols: Sequence[str], out_cols: Sequence[str]):
@@ -102,12 +112,10 @@ def ewma(
         if tau is None or dt is None:
             raise ValueError("give alpha, or tau and dt")
         alpha = alpha_from_tau(tau, dt)
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema += f", {out_col} double"
-    kernel = _ewma_kernel_factory(alpha, ts_col, [value_col], [out_col])
-    from .serieslift import group_apply_sorted
+    from .serieslift import apply_matrix_kernel
 
-    return group_apply_sorted(df, kernel, key_cols, ts_col, schema)
+    return apply_matrix_kernel(df, lambda mat: ewma_corrected_np(mat, alpha),
+                               key_cols, ts_col, value_col, out_col)
 
 
 def detrend(
@@ -142,20 +150,14 @@ def adaptive_standard_scaler(
             raise ValueError("give alpha, or tau and dt")
         alpha = alpha_from_tau(tau, dt)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
-        x = pdf[value_col].to_numpy(np.float64)
-        mu = ewma_corrected_np(x, alpha)
-        ex2 = ewma_corrected_np(x * x, alpha)
+    def kern_mat(mat: np.ndarray) -> np.ndarray:
+        mu = ewma_corrected_np(mat, alpha)
+        ex2 = ewma_corrected_np(mat * mat, alpha)
         var = ex2 - mu * mu
         mask = var > 0
         std = np.sqrt(np.where(mask, var, 0.0))
-        z = np.where(mask, (x - mu) / np.where(mask, std, 1.0), 0.0)
-        pdf[out_col] = z
-        return pdf
+        return np.where(mask, (mat - mu) / np.where(mask, std, 1.0), 0.0)
 
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema += f", {out_col} double"
-    from .serieslift import group_apply_sorted
+    from .serieslift import apply_matrix_kernel
 
-    return group_apply_sorted(df, kernel, key_cols, ts_col, schema)
+    return apply_matrix_kernel(df, kern_mat, key_cols, ts_col, value_col, out_col)
