@@ -30,8 +30,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return entry_queries.rollup_1m_envelope(spark, "/root/testdata/sf0.001")
 
 
+def _with_session_tuning(fn: Callable) -> Callable:
+    """The driver builds its own SparkSession; apply the runtime-settable
+    bits of our session tuning (session.py) before each query — most
+    importantly the AQE coalesce floor, without which tiny pandas-UDF
+    shuffles collapse to ONE task and every grouped kernel runs serially
+    (correctness unaffected; wall time 5×). Safe no-ops when already set."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        except Exception:
+            pass  # conf locked down — purely a performance hint
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(entry_queries.QUERIES)
+    return {name: _with_session_tuning(fn) for name, fn in entry_queries.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

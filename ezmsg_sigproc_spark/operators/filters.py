@@ -404,12 +404,20 @@ def butterworth(
     cuton: float | None = None,
     cutoff: float | None = None,
     fs: float = 1.0,
-    **kw,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "filtered",
 ) -> DataFrame:
     """Butterworth lp/hp/bp/bs from cuton/cutoff, reference
     ``butterworthfilter.py:47-69``: cutoff only → lowpass; cuton only →
     highpass; both (cuton < cutoff) → bandpass; both (cuton > cutoff) →
-    bandstop."""
+    bandstop.
+
+    Executed key-batched: every Arrow batch's keys form one (time × keys)
+    matrix and the prefix-scan SOS cascade runs once per batch, vectorized
+    across both axes (causal, so ragged tail padding is inert); per-key
+    x0-scaled zi comes from the matrix's first row."""
     if cuton is None and cutoff is not None:
         btype, wn = "lowpass", cutoff
     elif cuton is not None and cutoff is None:
@@ -421,7 +429,16 @@ def butterworth(
             btype, wn = "bandstop", (cutoff, cuton)
     else:
         raise ValueError("need cuton and/or cutoff")
-    return apply_series_kernel(df, lambda x: butter_filter_np(x, order, wn, btype, fs), **kw)
+    sos = butter_sos(order, wn, btype, fs=fs)
+    zi0 = sosfilt_zi(sos)
+
+    def kern_mat(mat: np.ndarray) -> np.ndarray:
+        zi = zi0[:, :, None] * mat[0][None, None, :]
+        return sosfilt_mat(sos, mat, zi)
+
+    from .serieslift import apply_matrix_kernel
+
+    return apply_matrix_kernel(df, kern_mat, key_cols, ts_col, value_col, out_col)
 
 
 def gaussian_smooth(df: DataFrame, sigma_s: float, dt: float, **kw) -> DataFrame:
