@@ -425,3 +425,53 @@ EQ.ORACLES["fbcca_frequency_scores"] = fixture_oracle(
     bigint=("user_id", "win_id"),
     double=("target_freq",),
 )
+
+
+# ================================================ embedding cosine near-dup ====
+
+_ND_PLANES, _ND_TABLES, _ND_DIM, _ND_TAU = 4, 4, 64, 0.3
+
+
+def _cosine_neardup_oracle() -> str:
+    """Exact SQL twin: the multi-table LSH bucketing is mirrored by inlining
+    the md5-parity hyperplane weights (identical by construction to Spark's
+    lsh_bucket_col — see similarity.lsh_plane_weights) as ±1 arrays and using
+    DuckDB's list_dot_product; candidates then verify with exact cosine."""
+    from .operators.similarity import lsh_plane_weights
+
+    sig_exprs = []
+    for t in range(_ND_TABLES):
+        ws = lsh_plane_weights(_ND_PLANES, _ND_DIM, plane_seed=t * _ND_PLANES)
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {w!r}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+            for w in ws
+        )
+        sig_exprs.append(f"({bits}) AS s{t}")
+    match = " OR ".join(f"a.s{t} = b.s{t}" for t in range(_ND_TABLES))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {', '.join(sig_exprs)} FROM e),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cs
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({match})
+    )
+    SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM cand WHERE cs >= {_ND_TAU!r}
+    """
+
+
+@q("dedup_embedding_cosine", _cosine_neardup_oracle())
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the dedup family's embedding
+    member): multi-table LSH self-join proposes candidates, exact cosine
+    verifies ≥ τ. The oracle reproduces the identical bucketing by inlining
+    the md5-parity hyperplane weights into SQL — candidates, not just
+    survivors, match across engines."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = cosine_near_dup_pairs(emb, threshold=_ND_TAU, n_planes=_ND_PLANES,
+                                n_tables=_ND_TABLES)
+    return out.select("id_a", "id_b", _r6(F.col("cos_sim")).alias("cos_sim"))

@@ -184,3 +184,61 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_plane_weights(n_planes: int, dim: int, plane_seed: int = 0) -> list[list[float]]:
+    """The ±1 hyperplane weights of :func:`lsh_bucket_col`, materialized
+    driver-side (same md5-parity definition, computed with hashlib) — used to
+    inline the planes into an engine-independent SQL twin and to keep the
+    Spark and oracle bucketings provably identical."""
+    import hashlib
+
+    out = []
+    for j in range(plane_seed, plane_seed + n_planes):
+        w = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
+            w.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+        out.append(w)
+    return out
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table LSH self-join
+    proposes candidates (corpus never cross-joins itself), exact cosine
+    verifies ``cos_sim ≥ threshold``. Returns (id_a, id_b, cos_sim) with
+    id_a < id_b — the embedding member of the dedup family (exact / MinHash
+    / SimHash / n-gram Jaccard / cosine), same candidates-then-verify shape
+    as the MinHash path and the same 100 TB story: shuffle on bucket
+    signatures only."""
+    parts = []
+    for t in range(n_tables):
+        sig = lsh_bucket_col(vec_col, n_planes, plane_seed=t * n_planes)
+        bucket = F.concat_ws(":", F.lit(str(t)), sig)
+        parts.append(corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                                   bucket.alias("_bucket")))
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a._bucket") == F.col("b._bucket"),
+                      F.col("a._id") < F.col("b._id")])
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        cand.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -14,7 +14,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles) <= set(qs)
     # the driver's correctness sweep covers at most 50 registered queries;
     # suites keep the registry inside that cap with full operator coverage
-    assert 40 <= len(qs) <= 50
+    assert 40 <= len(qs) <= 50  # 50 registered in round 2 — exactly the cap
     # EVERY registered query carries an oracle (SQL twin, inline numpy
     # fixture, or bound check) — no rows-only entries remain
     assert set(oracles) == set(qs)

@@ -323,3 +323,25 @@ def test_group_apply_sorted_equals_applyinpandas(spark):
         pd.testing.assert_frame_equal(c, b)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+
+
+def test_cosine_near_dup_finds_planted_duplicates(spark):
+    """Identical/near-identical vectors collide in every LSH table, so the
+    near-dup operator must always surface them; orthogonal vectors must not
+    pass the cosine threshold."""
+    import numpy as np
+
+    from ezmsg_sigproc_spark.operators.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    near = base + 0.01 * rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    # orthogonal-ish noise vectors
+    for i in range(2, 30):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = cosine_near_dup_pairs(df, threshold=0.9, n_planes=4, n_tables=4).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (0, 1) in pairs
+    assert all(r.cos_sim >= 0.9 for r in got)
