@@ -102,10 +102,11 @@ def main():
         prev_df, prev_rows = r, out_rows
 
     t0 = time.monotonic()
-    # sampled decode-back verification (1-in-16 keys fully decoded, 256-point
-    # prefix for the rest): the decoder is sequential Python by nature, so
-    # always-on full decode would benchmark the verifier, not the codec.
-    # verified_points reports the actual coverage; tests do full roundtrips.
+    # sampled decode-back verification (1-in-16 keys fully decoded, 64-point
+    # prefix for longer blocks): the decoder is sequential Python by nature,
+    # so always-on full decode would benchmark the verifier, not the codec.
+    # verified_points reports the actual coverage; tests and the scaling
+    # probe do full roundtrips.
     blobs = gorilla_compress(
         sig.withColumn("bucket", F.floor(F.col("ts") / 3600).cast("bigint")),
         key_cols=["url", "bucket"], ts_col="ts", value_col="value",
@@ -134,18 +135,19 @@ def main():
     # lowers per-core clocks/bandwidth, capping even a perfectly-scheduled
     # engine below 4×. engine_efficiency = raw speedup / hw-attainable speedup.
     here = os.path.dirname(os.path.abspath(__file__))
-    # the probe gets a 9× larger input (9× the urls) than the throughput
-    # section: the job must be long enough at 4N cores that per-job
-    # scheduling overhead (~0.5 s) is noise, and the many-url layout is the
-    # web-scale regime (per-key kernels bounded by key count, not series
-    # length)
-    scaling_pages = "/tmp/bench_pages_scaling9.parquet"
+    # the probe gets a 27× larger input (27× the urls, ~97M rows) than the
+    # throughput section: the engine got fast enough this round that smaller
+    # probes finish in seconds at 4N cores and the ~0.5 s/job scheduling
+    # floor dominates the ratio. The many-url layout is the web-scale regime
+    # (per-key kernels bounded by key count, not series length); the dominant
+    # phase is the JVM tiered rollup — the north rule's own metric.
+    scaling_pages = "/tmp/bench_pages_scaling27.parquet"
     if not os.path.exists(scaling_pages):
         from ezmsg_sigproc_spark.session import get_spark as _gs
 
         s2 = _gs(app_name="bench_gen", cores=CPUS)
-        generate_pages(s2, n_urls=PAGES_ROWS_URLS * 9, samples_per_url=PAGES_SAMPLES,
-                       partitions=CPUS * 2).write.mode("overwrite").parquet(scaling_pages)
+        generate_pages(s2, n_urls=PAGES_ROWS_URLS * 27, samples_per_url=PAGES_SAMPLES,
+                       partitions=CPUS * 3).write.mode("overwrite").parquet(scaling_pages)
         s2.stop()
     # Interleaved order (N, 4N, N, 4N) so slow drift in host load hits both
     # levels equally; per level the estimate is the PER-PHASE minimum across

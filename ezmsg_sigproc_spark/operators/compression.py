@@ -277,29 +277,7 @@ def gorilla_compress(
     """
     import zlib
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts = np.round(pdf[ts_col].to_numpy(np.float64) * ts_scale).astype(np.int64)
-        vals = pdf[value_col].to_numpy(np.float64)
-        if verify == "full":
-            vp = None
-        elif verify == "none":
-            vp = 0
-        else:
-            keyrep = "|".join(str(pdf[c].iloc[0]) for c in key_cols)
-            vp = None if zlib.crc32(keyrep.encode()) % sample_mod == 0 else 64
-        st = gorilla_roundtrip_stats(ts, vals, verify_points=vp)
-        row = {c: [pdf[c].iloc[0]] for c in key_cols}
-        row.update(
-            n_points=[st["n_points"]],
-            ts_bytes=[st["ts_bytes"]],
-            val_bytes=[st["val_bytes"]],
-            bytes_per_point=[st["bytes_per_point"]],
-            roundtrip_ok=[st["roundtrip_ok"]],
-            verified_points=[st["verified_points"]],
-        )
-        return pd.DataFrame(row)
-
+    key_cols = list(key_cols)
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in key_cols
     )
@@ -308,10 +286,211 @@ def gorilla_compress(
         + ", n_points bigint, ts_bytes bigint, val_bytes bigint, bytes_per_point double,"
         + " roundtrip_ok boolean, verified_points bigint"
     )
-    # partition-level lift: blocks are numerous and small at scale (one per
-    # (key, time-bucket)), so the per-group Arrow crossing of plain
-    # applyInPandas dominates; group_apply_sorted enters Python once per
-    # Arrow batch instead (see serieslift module docstring)
-    from .serieslift import group_apply_sorted
 
-    return group_apply_sorted(df, kernel, key_cols, ts_col, schema)
+    def encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        """pdf: (key, ts)-sorted rows for ≥1 complete blocks. The ENCODE of
+        every block in the batch is one vectorized pass (encode_*_blocks);
+        only the decode-back verification walks sampled blocks in Python."""
+        keys = pdf[key_cols]
+        change = (keys != keys.shift()).any(axis=1).to_numpy()
+        starts = np.concatenate([np.flatnonzero(change), [len(pdf)]])
+        ts = np.round(pdf[ts_col].to_numpy(np.float64) * ts_scale).astype(np.int64)
+        vals = pdf[value_col].to_numpy(np.float64)
+        tb = encode_timestamp_blocks(ts, starts)
+        vb = encode_value_blocks(vals, starts)
+        n_blocks = len(tb)
+        lengths = np.diff(starts)
+        rows = {c: pdf[c].to_numpy()[starts[:-1]] for c in key_cols}
+        ok = np.ones(n_blocks, dtype=bool)
+        vps = np.zeros(n_blocks, dtype=np.int64)
+        for b in range(n_blocks):
+            s, e = int(starts[b]), int(starts[b + 1])
+            if verify == "full":
+                vp = e - s
+            elif verify == "none":
+                vp = 0
+            else:
+                # 1-in-sample_mod keys fully decoded; of the rest, only
+                # blocks LONGER than the 64-point prefix get a prefix check —
+                # for short blocks a "prefix" would be a full decode of
+                # every block, which is exactly the cost sampling exists to
+                # avoid, and the full-decode sample already covers the
+                # short-block population statistically
+                keyrep = "|".join(str(rows[c][b]) for c in key_cols)
+                if zlib.crc32(keyrep.encode()) % sample_mod == 0:
+                    vp = e - s
+                else:
+                    vp = 64 if (e - s) > 64 else 0
+            if vp > 0:
+                ok[b] = bool(
+                    np.array_equal(decode_timestamps(tb[b], vp), ts[s : s + vp])
+                    and np.array_equal(
+                        decode_values(vb[b], vp).view(np.uint64),
+                        vals[s : s + vp].view(np.uint64),
+                    )
+                )
+            vps[b] = vp
+        tlen = np.array([len(x) for x in tb], dtype=np.int64)
+        vlen = np.array([len(x) for x in vb], dtype=np.int64)
+        out = pd.DataFrame(rows)
+        out["n_points"] = lengths
+        out["ts_bytes"] = tlen
+        out["val_bytes"] = vlen
+        out["bytes_per_point"] = (tlen + vlen) / np.maximum(lengths, 1)
+        out["roundtrip_ok"] = ok
+        out["verified_points"] = vps
+        return out
+
+    # partition-level batch encode: blocks are numerous and small at scale
+    # (one per (key, time-bucket)); both the per-group Arrow crossing AND the
+    # per-block numpy dispatch are amortized over the whole Arrow batch
+    num_partitions = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    arranged = df.repartition(num_partitions, *key_cols).sortWithinPartitions(
+        *key_cols, ts_col
+    )
+
+    def fn(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key_cols]
+            change = (keys != keys.shift()).any(axis=1).to_numpy()
+            last_start = int(change.nonzero()[0][-1])
+            if last_start == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+            yield encode_batch(pdf.iloc[:last_start].reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield encode_batch(carry)
+
+    return arranged.mapInPandas(fn, schema=schema)
+
+
+# ------------------------------------------------- cross-block vectorized ----
+
+def _segment_pack(values: np.ndarray, nbits: np.ndarray, field_block: np.ndarray,
+                  n_blocks: int) -> list[bytes]:
+    """Pack variable-width fields belonging to ``n_blocks`` consecutive blocks
+    into per-block byte blobs with ONE vectorized bit-scatter.
+
+    ``field_block[i]`` = block id of field i (non-decreasing). Each block's
+    bitstream is padded to a byte boundary (trailing zero bits — the decoder
+    reads exactly n points and never sees them), so the concatenated packbits
+    output can be sliced at per-block byte offsets. Byte-identical to packing
+    each block separately.
+    """
+    bits_per_block = np.bincount(field_block, weights=nbits, minlength=n_blocks).astype(np.int64)
+    pad = (-bits_per_block) % 8
+    # one zero-valued pad field appended per block (nbits may be 0)
+    all_vals = np.concatenate([values, np.zeros(n_blocks, dtype=np.uint64)])
+    all_bits = np.concatenate([nbits.astype(np.int64), pad])
+    all_blk = np.concatenate([field_block, np.arange(n_blocks)])
+    # order fields by (block, original position): stable sort on block id
+    order = np.argsort(all_blk, kind="stable")
+    # pad fields must come AFTER the block's real fields: stable sort keeps
+    # original relative order, and the pads were appended last — but they
+    # compare equal on block id with earlier fields of the same block, and
+    # stable sort preserves append order, so pads land at each block's end
+    packed = _pack_varbits(all_vals[order], all_bits[order])
+    byte_lens = ((bits_per_block + pad) // 8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(byte_lens)])
+    return [packed[offs[b]: offs[b + 1]] for b in range(n_blocks)]
+
+
+def encode_timestamp_blocks(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Vectorized delta-of-delta encoding of MANY blocks at once: ``ts`` is
+    the concatenation of all blocks' (sorted) int64 timestamps and ``starts``
+    the block start offsets (len B+1, starts[-1] == len(ts)). Byte-identical
+    to calling :func:`encode_timestamps` per block."""
+    ts = np.asarray(ts, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n = ts.size
+    n_blocks = starts.size - 1
+    lengths = np.diff(starts)
+    blk_of = np.repeat(np.arange(n_blocks), lengths)
+    off = np.arange(n) - np.repeat(starts[:-1], lengths)  # within-block index
+    delta = np.zeros(n, dtype=np.int64)
+    delta[1:] = np.diff(ts)
+    dod = np.zeros(n, dtype=np.int64)
+    dod[1:] = delta[1:] - delta[:-1]
+    # per-point field counts: o==0 →1 (t0), o==1 →1 (delta), o≥2 →2
+    cnt = np.where(off >= 2, 2, 1)
+    pos = np.cumsum(cnt) - cnt
+    total = int(cnt.sum())
+    vals = np.zeros(total, dtype=np.uint64)
+    bits = np.zeros(total, dtype=np.int64)
+    fblk = np.repeat(blk_of, cnt)
+    m0 = off == 0
+    vals[pos[m0]] = ts[m0].view(np.uint64)
+    bits[pos[m0]] = 64
+    m1 = off == 1
+    vals[pos[m1]] = delta[m1].view(np.uint64)
+    bits[pos[m1]] = 64
+    m2 = off >= 2
+    if m2.any():
+        d = dod[m2]
+        bucket = np.select(
+            [d == 0,
+             (d >= -64) & (d < 64),
+             (d >= -256) & (d < 256),
+             (d >= -2048) & (d < 2048)],
+            [0, 1, 2, 3],
+            default=4,
+        )
+        prefix_val = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111], dtype=np.uint64)[bucket]
+        prefix_len = np.array([1, 2, 3, 4, 4], dtype=np.int64)[bucket]
+        pay_len = np.array([0, 8, 10, 13, 64], dtype=np.int64)[bucket]
+        half = np.array([0, 64, 256, 2048, 0], dtype=np.int64)[bucket]
+        payload = np.where(bucket == 4, d.view(np.uint64),
+                           (d + half).astype(np.int64).view(np.uint64))
+        vals[pos[m2]] = prefix_val
+        bits[pos[m2]] = prefix_len
+        vals[pos[m2] + 1] = payload
+        bits[pos[m2] + 1] = pay_len
+    return _segment_pack(vals, bits, fblk, n_blocks)
+
+
+def encode_value_blocks(v: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Vectorized Gorilla XOR encoding of MANY blocks at once (same contract
+    as :func:`encode_timestamp_blocks`); byte-identical to per-block
+    :func:`encode_values`."""
+    u = np.asarray(v, dtype=np.float64).view(np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n = u.size
+    n_blocks = starts.size - 1
+    lengths = np.diff(starts)
+    blk_of = np.repeat(np.arange(n_blocks), lengths)
+    off = np.arange(n) - np.repeat(starts[:-1], lengths)
+    x = np.zeros(n, dtype=np.uint64)
+    x[1:] = u[1:] ^ u[:-1]
+    cnt = np.where(off >= 1, 2, 1)
+    pos = np.cumsum(cnt) - cnt
+    total = int(cnt.sum())
+    vals = np.zeros(total, dtype=np.uint64)
+    bits = np.zeros(total, dtype=np.int64)
+    fblk = np.repeat(blk_of, cnt)
+    m0 = off == 0
+    vals[pos[m0]] = u[m0]
+    bits[pos[m0]] = 64
+    m1 = off >= 1
+    if m1.any():
+        xs = x[m1]
+        nz = xs != 0
+        lowbit = xs & (~xs + np.uint64(1))
+        tail = np.where(nz, np.log2(np.maximum(lowbit, np.uint64(1)).astype(np.float64)), 0).astype(np.int64)
+        bl = np.floor(np.log2(np.maximum(xs, np.uint64(1)).astype(np.float64))).astype(np.int64) + 1
+        lead = np.clip(64 - bl, 0, 31)
+        nb = 64 - lead - tail
+        header = (np.uint64(0b11) << np.uint64(11)) | (
+            lead.astype(np.uint64) << np.uint64(6)
+        ) | (nb - 1).astype(np.uint64)
+        vals[pos[m1]] = np.where(nz, header, np.uint64(0))
+        bits[pos[m1]] = np.where(nz, 13, 1)
+        vals[pos[m1] + 1] = xs >> tail.astype(np.uint64)
+        bits[pos[m1] + 1] = np.where(nz, nb, 0)
+    return _segment_pack(vals, bits, fblk, n_blocks)

@@ -52,9 +52,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
 
     Hash family = 8-hex-char (32-bit) slices of md5(shingle) and
     md5('#'+shingle). Structured as explode → project (2 md5 per shingle,
-    evaluated once — array-lambda forms re-evaluate the md5 per signature
-    element) → groupBy min. String-min over hex slices is engine-independent,
-    so the DuckDB oracle reproduces it exactly.
+    evaluated once) → groupBy min. String-min over hex slices is
+    engine-independent, so the DuckDB oracle reproduces it exactly.
+
+    Measured note (round 2): a shuffle-free formulation via higher-order
+    array lambdas (transform → array_min within the row) is 3× SLOWER — HOF
+    lambdas over string structs fall out of whole-stage codegen and churn
+    per-row arrays. The explode path stays: its groupBy(min) partial-
+    aggregates map-side, so the exchange carries exactly one signature row
+    per doc — already minimal at 10^12 docs.
     """
     if n_hashes > 8:
         raise ValueError("hash family provides 8 independent 32-bit slices")
