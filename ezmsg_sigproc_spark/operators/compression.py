@@ -257,10 +257,13 @@ def gorilla_compress(
     ts_scale: float = 1_000_000.0,
     verify: str = "full",
     sample_mod: int = 16,
+    emit_blobs: bool = False,
 ) -> DataFrame:
-    """Per-key Gorilla blocks: one output row per key with the encoded blobs
-    and size stats. ``ts_scale`` converts the (double, seconds) ts column to
-    integer units (default µs) for delta-of-delta coding.
+    """Per-key Gorilla blocks: one output row per key with size stats and —
+    when ``emit_blobs`` — the encoded ``ts_blob``/``val_blob`` binary columns
+    (the storage representation; :func:`gorilla_decode` reads them back).
+    ``ts_scale`` converts the (double, seconds) ts column to integer units
+    (default µs) for delta-of-delta coding.
 
     ``verify``: decode-back policy. ``'full'`` decodes every block (tests /
     small data); ``'sample'`` fully decodes a deterministic 1-in-``sample_mod``
@@ -286,6 +289,8 @@ def gorilla_compress(
         + ", n_points bigint, ts_bytes bigint, val_bytes bigint, bytes_per_point double,"
         + " roundtrip_ok boolean, verified_points bigint"
     )
+    if emit_blobs:
+        schema += ", ts_blob binary, val_blob binary"
 
     def encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         """pdf: (key, ts)-sorted rows for ≥1 complete blocks. The ENCODE of
@@ -339,6 +344,9 @@ def gorilla_compress(
         out["bytes_per_point"] = (tlen + vlen) / np.maximum(lengths, 1)
         out["roundtrip_ok"] = ok
         out["verified_points"] = vps
+        if emit_blobs:
+            out["ts_blob"] = tb
+            out["val_blob"] = vb
         return out
 
     # partition-level batch encode: blocks are numerous and small at scale
@@ -494,3 +502,41 @@ def encode_value_blocks(v: np.ndarray, starts: np.ndarray) -> list[bytes]:
         vals[pos[m1] + 1] = xs >> tail.astype(np.uint64)
         bits[pos[m1] + 1] = np.where(nz, nb, 0)
     return _segment_pack(vals, bits, fblk, n_blocks)
+
+
+def gorilla_decode(
+    blobs: DataFrame,
+    key_cols: Sequence[str] = ("key",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ts_scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Read Gorilla blocks back to points: (key…, ts, value) rows from the
+    ``ts_blob``/``val_blob``/``n_points`` columns of
+    ``gorilla_compress(..., emit_blobs=True)`` output.
+
+    The bit-parse is sequential per block by nature (data-dependent field
+    positions); blocks decode independently, so parallelism = block count —
+    at scale that is one task per bundle of (key, bucket) blocks.
+    """
+    keep = list(key_cols)
+    schema_keys = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in blobs.schema.fields if f.name in keep
+    )
+    schema = schema_keys + f", {ts_col} double, {value_col} double"
+
+    def fn(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                n = int(row["n_points"])
+                ts = decode_timestamps(bytes(row["ts_blob"]), n).astype(np.float64) / ts_scale
+                vals = decode_values(bytes(row["val_blob"]), n)
+                block = pd.DataFrame({ts_col: ts, value_col: vals})
+                for c in reversed(keep):
+                    block.insert(0, c, row[c])
+                frames.append(block)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return blobs.mapInPandas(fn, schema=schema)

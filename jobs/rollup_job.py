@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--retain-1m-hours", type=int, default=None,
                     help="drop 1m-tier hour buckets older than the newest N")
+    ap.add_argument("--compress-1m", default=None, metavar="PATH",
+                    help="also persist the 1m tier as Gorilla blocks "
+                         "(url, ts_bucket, ts_blob, val_blob, …) at PATH")
     ap.add_argument("--cores", type=int, default=None, help="local mode cores")
     args = ap.parse_args(argv)
 
@@ -50,6 +53,30 @@ def main(argv=None):
 
     store = RollupStore(spark, args.out)
     metrics = run_tiered_rollup(spark, pages, store=store, resume=args.resume)
+
+    if args.compress_1m:
+        from pyspark.sql import functions as F
+
+        from ezmsg_sigproc_spark.operators.compression import gorilla_compress
+        from ezmsg_sigproc_spark.plans.rollup_tiers import finalize
+
+        points = finalize(store.read_tier("1m").drop("ts_bucket"), 60).select(
+            "url", F.col("bin_ts").alias("ts"), F.col("mean").alias("value"))
+        blobs = gorilla_compress(
+            points.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
+            key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+            verify="sample", emit_blobs=True,
+        )
+        blobs.write.mode("overwrite").partitionBy("bucket").parquet(args.compress_1m)
+        agg = blobs.agg(F.sum("n_points").alias("np"), F.sum("ts_bytes").alias("tb"),
+                        F.sum("val_bytes").alias("vb"),
+                        F.min("roundtrip_ok").alias("ok")).collect()[0]
+        metrics["compress_1m"] = {
+            "points": agg.np,
+            "bytes_per_point": round((agg.tb + agg.vb) / max(agg.np, 1), 3),
+            "roundtrip_ok": bool(agg.ok),
+            "path": args.compress_1m,
+        }
 
     if args.retain_1m_hours is not None:
         done = sorted(store.completed_buckets("1m"))

@@ -213,3 +213,29 @@ def test_sosfilt_scan_matches_per_sample_loop():
     for j in range(5):
         ref = _sosfilt_loop(sos, X[:, j], sosfilt_zi(sos) * X[0, j])
         np.testing.assert_allclose(Y[:, j], ref, rtol=0, atol=1e-9 * max(1.0, np.max(np.abs(ref))))
+
+
+def test_gorilla_blob_roundtrip_spark(spark):
+    import pandas as pd
+
+    from ezmsg_sigproc_spark.operators.compression import gorilla_compress, gorilla_decode
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for k in range(8):
+        n = int(rng.integers(5, 400))
+        frames.append(pd.DataFrame({
+            "key": f"k{k}",
+            "ts": np.sort(rng.integers(0, 10**7, size=n).astype(float) / 1e3),
+            "value": rng.standard_normal(n).cumsum(),
+        }).drop_duplicates("ts"))
+    full = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(full, "key string, ts double, value double")
+    blobs = gorilla_compress(df, key_cols=["key"], ts_col="ts", value_col="value",
+                             verify="none", emit_blobs=True)
+    back = gorilla_decode(blobs, key_cols=["key"], ts_col="ts", value_col="value").toPandas()
+    a = back.sort_values(["key", "ts"]).reset_index(drop=True)
+    b = full.sort_values(["key", "ts"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a["ts"].to_numpy(), b["ts"].to_numpy(), rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(a["value"].to_numpy(), b["value"].to_numpy())
