@@ -41,3 +41,49 @@ def streaming_rollup_1m(pages_stream: DataFrame, watermark: str = "2 minutes") -
             "n", "sum", "min", "max", "sum_sq",
         )
     )
+
+
+def streaming_rollup_to_gorilla(
+    pages_stream: DataFrame,
+    blobs_path: str,
+    checkpoint: str,
+    watermark: str = "2 minutes",
+):
+    """The full streaming compaction chain: watermarked 1m rollup (append
+    mode — each window emitted exactly once when the watermark closes it) →
+    per-micro-batch Gorilla encoding of the closed windows' mean series →
+    parquet blob store partitioned by day bucket.
+
+    ``foreachBatch`` receives only NEWLY-closed windows per micro-batch, so
+    each (url, bucket) appends blocks covering disjoint bin ranges — the
+    reader (:func:`ezmsg_sigproc_spark.operators.compression.gorilla_decode`)
+    simply unions blocks. Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.compression import gorilla_compress
+
+    rolled = streaming_rollup_1m(pages_stream, watermark=watermark)
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        points = batch_df.select(
+            "url",
+            (F.col("bin_m") * 60).cast("double").alias("ts"),
+            (F.col("sum") / F.col("n")).alias("value"),
+        )
+        blobs = gorilla_compress(
+            points.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
+            key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+            verify="full", emit_blobs=True,
+        )
+        blobs.write.mode("append").partitionBy("bucket").parquet(blobs_path)
+
+    return (
+        rolled.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -158,3 +158,54 @@ def test_streaming_rollup_watermark_late_data(spark, tmp_path):
     assert counts[1] == 6, counts
     assert counts[3] == 7, counts
     assert all(counts[b] == 6 for b in set(range(9)) - {1, 3}), counts
+
+
+def test_streaming_rollup_to_gorilla_compaction(spark, tmp_path):
+    """readStream → watermarked 1m rollup → per-batch Gorilla blocks: the
+    decoded blob store equals the batch-computed tier means for every window
+    the watermark closed."""
+    import datetime as dt
+
+    from ezmsg_sigproc_spark.operators.compression import gorilla_decode
+    from ezmsg_sigproc_spark.streaming.stream_rollup import streaming_rollup_to_gorilla
+
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(ts_list):
+        return pd.DataFrame({
+            "url": ["https://a.example/x" if int(t) % 2 == 0 else "https://b.example/y"
+                    for t in ts_list],
+            "warc_ts": [base + dt.timedelta(seconds=float(t)) for t in ts_list],
+            "html": [b"h" * (10 + int(t) % 7) for t in ts_list],
+        })
+
+    src, blobs, ckpt = tmp_path / "src", tmp_path / "blobs", tmp_path / "ckpt"
+    os.makedirs(src)
+    schema = "url string, warc_ts timestamp, html binary"
+    spark.createDataFrame(rows(list(range(0, 600, 5))), schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "b1"))
+    # flush event far in the future closes all prior windows
+    spark.createDataFrame(rows([10_000]), schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*"))
+    q = streaming_rollup_to_gorilla(stream, str(blobs), str(ckpt))
+    q.awaitTermination(180)
+
+    got = gorilla_decode(
+        spark.read.parquet(str(blobs)), key_cols=["url", "bucket"],
+        ts_col="ts", value_col="value",
+    ).toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+
+    # batch twin over the same closed windows (everything before the flush)
+    import numpy as np
+    pdf = rows(list(range(0, 600, 5)))
+    pdf["bin_m"] = (pdf.warc_ts.astype("int64") // 10**9 // 60).astype(int)
+    pdf["value"] = pdf.html.map(len).astype(float)
+    exp = (pdf.groupby(["url", "bin_m"]).value.mean().reset_index()
+           .sort_values(["url", "bin_m"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got.url.to_numpy(), exp.url.to_numpy())
+    np.testing.assert_allclose(got.ts.to_numpy(), exp.bin_m.to_numpy() * 60.0, atol=1e-6)
+    np.testing.assert_allclose(got.value.to_numpy(), exp.value.to_numpy(), rtol=1e-12)
