@@ -102,15 +102,15 @@ def main():
         prev_df, prev_rows = r, out_rows
 
     t0 = time.monotonic()
-    # sampled decode-back verification (1-in-16 keys fully decoded, 64-point
-    # prefix for longer blocks): the decoder is sequential Python by nature,
-    # so always-on full decode would benchmark the verifier, not the codec.
-    # verified_points reports the actual coverage; tests and the scaling
-    # probe do full roundtrips.
+    # FULL decode-back verification: the lockstep batch decoder
+    # (decode_*_blocks) parses all of a task's blocks together in numpy, so
+    # verifying every point costs ~0.3× the encode — full verify is the
+    # bench default (round-2 sampling existed only because decode was a
+    # per-point Python loop).
     blobs = gorilla_compress(
         sig.withColumn("bucket", F.floor(F.col("ts") / 3600).cast("bigint")),
         key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-        verify="sample",
+        verify="full",
     )
     agg = blobs.agg(
         F.sum("ts_bytes").alias("tb"), F.sum("val_bytes").alias("vb"),

@@ -52,15 +52,24 @@ def parse_media_header(payload: bytes) -> dict:
         out["width"], out["height"] = struct.unpack(">II", payload[16:24])
     elif n >= 4 and payload[:2] == b"\xff\xd8":
         out["format"] = "jpeg"
-        # walk segments to the first SOFn (baseline/progressive frame header)
+        # walk marker segments to the first SOFn (frame header). The walk is
+        # STRUCTURED (marker → length → skip): it stops at SOS (0xDA, start
+        # of entropy-coded scan) and EOI (0xD9) and treats 0xFF00 as byte
+        # stuffing — never interpreting scan bytes as markers, so a payload
+        # with no SOF before the scan leaves width/height null instead of
+        # reporting bogus dimensions
         i = 2
         while i + 9 < n:
             if payload[i] != 0xFF:
+                break  # malformed stream — not at a marker boundary
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte before marker
                 i += 1
                 continue
-            marker = payload[i + 1]
+            if marker in (0x00, 0xDA, 0xD9):  # stuffed byte / SOS / EOI
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers, no length field
                 continue
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

@@ -21,8 +21,21 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+
+def key_change_mask(keys: pd.DataFrame) -> np.ndarray:
+    """True where row i starts a new key block, NULL-SAFE: two adjacent null
+    keys compare equal (plain ``!=`` yields True for NaN vs NaN, which would
+    shatter a null-key run into per-row groups). Row 0 is always a start."""
+    shifted = keys.shift()
+    neq = (keys != shifted) & ~(keys.isna() & shifted.isna())
+    out = neq.any(axis=1).to_numpy()
+    if out.size:
+        out[0] = True
+    return out
 
 
 def group_apply_sorted(
@@ -51,7 +64,9 @@ def group_apply_sorted(
         carry: pd.DataFrame | None = None
 
         def run_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            outs = [kernel(g) for _, g in pdf.groupby(key_cols, sort=False)]
+            # dropna=False: Spark's applyInPandas contract keeps a null-key
+            # group; pandas groupby would silently drop it by default
+            outs = [kernel(g) for _, g in pdf.groupby(key_cols, sort=False, dropna=False)]
             return pd.concat(outs, ignore_index=True)
 
         for pdf in batches:
@@ -62,8 +77,7 @@ def group_apply_sorted(
                 continue
             # rows of the batch's LAST key may continue in the next batch —
             # hold them back (the final flush handles the tail)
-            keys = pdf[key_cols]
-            change = (keys != keys.shift()).any(axis=1).to_numpy()
+            change = key_change_mask(pdf[key_cols])
             last_start = int(change.nonzero()[0][-1])
             if last_start == 0:
                 carry = pdf
@@ -76,6 +90,11 @@ def group_apply_sorted(
     return arranged.mapInPandas(fn, schema=schema)
 
 
+_PIVOT_CAP_CELLS = 1 << 23  # 8M float64 cells = 64 MB per pivot — bounds the
+# (max_series_len × n_keys) allocation under key-length skew; a 64k-row Arrow
+# batch without skew is far below this, so the cap only splits outlier batches
+
+
 def apply_matrix_kernel(
     df: DataFrame,
     matrix_kernel,
@@ -84,6 +103,7 @@ def apply_matrix_kernel(
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
+    pivot_cap: int | None = None,
 ) -> DataFrame:
     """Batch ALL keys of an Arrow batch into one (time × keys) matrix and run
     a single vectorized kernel call — for CAUSAL kernels only.
@@ -96,10 +116,16 @@ def apply_matrix_kernel(
     per call — the per-group Python overhead of even the in-memory pandas
     groupby disappears (this is what the scaling probe's many-short-series
     regime is bound by).
-    """
-    import numpy as np
 
+    The pivot is BOUNDED: a skewed batch (one carried long key among
+    thousands of short ones) would allocate max_len × n_keys cells; keys are
+    therefore grouped into length-sorted buckets of ≤ ``_PIVOT_CAP_CELLS``
+    cells each and the kernel runs once per bucket — worst-case extra
+    invocations are O(total_cells / CAP), and the common unskewed batch
+    still makes exactly one call.
+    """
     key_cols = list(key_cols)
+    cap = _PIVOT_CAP_CELLS if pivot_cap is None else int(pivot_cap)
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
     arranged = df.repartition(num_partitions, *key_cols).sortWithinPartitions(
@@ -109,18 +135,46 @@ def apply_matrix_kernel(
     schema += f", {out_col} double"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = pdf[key_cols]
-        change = (keys != keys.shift()).any(axis=1).to_numpy()
+        change = key_change_mask(pdf[key_cols])
         starts = np.flatnonzero(change)
         codes = np.cumsum(change) - 1
         lengths = np.diff(np.append(starts, len(pdf)))
         pos = np.arange(len(pdf)) - np.repeat(starts, lengths)
-        mat = np.zeros((int(lengths.max()), len(starts)))
         vals = pdf[value_col].to_numpy(np.float64)
-        mat[pos, codes] = vals
-        out = matrix_kernel(mat)
+        n_keys = len(starts)
+        if int(lengths.max()) * n_keys <= cap:
+            mat = np.zeros((int(lengths.max()), n_keys))
+            mat[pos, codes] = vals
+            out = matrix_kernel(mat)
+            out_vals = out[pos, codes]
+        else:
+            # skewed batch: bucket keys longest-first so each pivot stays
+            # under the cap; per-key results are identical (columns are
+            # independent for causal kernels)
+            order = np.argsort(-lengths, kind="stable")
+            bucket_of = np.empty(n_keys, dtype=np.int64)
+            nb = 0
+            i = 0
+            while i < n_keys:
+                width = max(int(cap // max(int(lengths[order[i]]), 1)), 1)
+                bucket_of[order[i : i + width]] = nb
+                nb += 1
+                i += width
+            out_vals = np.empty(len(pdf))
+            row_bucket = bucket_of[codes]
+            local_code = np.empty(n_keys, dtype=np.int64)
+            for b in range(nb):
+                kids = np.flatnonzero(bucket_of == b)
+                local_code[kids] = np.arange(kids.size)
+                rmask = row_bucket == b
+                lc = local_code[codes[rmask]]
+                lp = pos[rmask]
+                mat = np.zeros((int(lengths[kids].max()), kids.size))
+                mat[lp, lc] = vals[rmask]
+                out = matrix_kernel(mat)
+                out_vals[rmask] = out[lp, lc]
         res = pdf.copy()
-        res[out_col] = out[pos, codes]
+        res[out_col] = out_vals
         return res
 
     def fn(batches):
@@ -131,8 +185,7 @@ def apply_matrix_kernel(
                 carry = None
             if len(pdf) == 0:
                 continue
-            keys = pdf[key_cols]
-            change = (keys != keys.shift()).any(axis=1).to_numpy()
+            change = key_change_mask(pdf[key_cols])
             last_start = int(change.nonzero()[0][-1])
             if last_start == 0:
                 carry = pdf

@@ -285,7 +285,10 @@ def read_resolution(
     == 0 (so tier bins compose exactly into requested bins). Time bounds
     [t0, t1) prune on the hive ``ts_bucket`` partition column FIRST — at
     10^12 rows that is the difference between touching two directories and
-    scanning the lake — then on bin_m.
+    scanning the lake — then on bin_m. Bounds are ALIGNED to the requested
+    grid before filtering (t0 floored, t1 ceiled to ``bin_seconds``):
+    otherwise an edge coarse bin would be re-aggregated from a partial set
+    of fine bins yet returned as an ordinary full bin.
 
     Returns finalized rows (url, bin_m, bin_ts, n, sum, min, max, mean, std)
     on the requested grid.
@@ -296,6 +299,10 @@ def read_resolution(
         raise ValueError(
             f"no stored tier divides bin_seconds={bin_seconds}; tiers: {TIERS}")
     tier, tier_sec = max(candidates, key=lambda kv: kv[1])
+    if t0 is not None:
+        t0 = (int(t0) // bin_seconds) * bin_seconds  # floor to requested grid
+    if t1 is not None:
+        t1 = -(-int(t1) // bin_seconds) * bin_seconds  # ceil to requested grid
     df = store.read_tier(tier)
     per = 3600 if tier_sec < 3600 else 86400
     if t0 is not None:

@@ -43,6 +43,29 @@ def streaming_rollup_1m(pages_stream: DataFrame, watermark: str = "2 minutes") -
     )
 
 
+def write_gorilla_batch(batch_df: DataFrame, batch_id: int, blobs_path: str) -> None:
+    """Idempotent per-micro-batch Gorilla compaction sink: encode the batch's
+    closed 1m windows and OVERWRITE ``<blobs_path>/batch_id=<id>``. Re-running
+    the same batch_id (foreachBatch retry) replaces, never duplicates."""
+    from ..operators.compression import gorilla_compress
+
+    if batch_df.isEmpty():
+        return
+    points = batch_df.select(
+        "url",
+        (F.col("bin_m") * 60).cast("double").alias("ts"),
+        (F.col("sum") / F.col("n")).alias("value"),
+    )
+    blobs = gorilla_compress(
+        points.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
+        key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+        verify="full", emit_blobs=True,
+    )
+    blobs.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{blobs_path}/batch_id={batch_id}"
+    )
+
+
 def streaming_rollup_to_gorilla(
     pages_stream: DataFrame,
     blobs_path: str,
@@ -58,27 +81,19 @@ def streaming_rollup_to_gorilla(
     each (url, bucket) appends blocks covering disjoint bin ranges — the
     reader (:func:`ezmsg_sigproc_spark.operators.compression.gorilla_decode`)
     simply unions blocks. Returns the started StreamingQuery.
+
+    Idempotence: ``foreachBatch`` is at-least-once — a retry after a
+    partially-completed write but before the checkpoint commit re-delivers
+    the same ``batch_id``. Each micro-batch therefore writes with
+    ``overwrite`` into its own ``batch_id=<id>`` subdirectory: a retry
+    replaces the partial output instead of appending duplicate blocks (the
+    same staged→atomic discipline as ``RollupStore.write_tier``). Readers
+    see ``batch_id`` as an ordinary discovered partition column.
     """
-    from pyspark.sql import functions as F
-
-    from ..operators.compression import gorilla_compress
-
     rolled = streaming_rollup_1m(pages_stream, watermark=watermark)
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        points = batch_df.select(
-            "url",
-            (F.col("bin_m") * 60).cast("double").alias("ts"),
-            (F.col("sum") / F.col("n")).alias("value"),
-        )
-        blobs = gorilla_compress(
-            points.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
-            key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-            verify="full", emit_blobs=True,
-        )
-        blobs.write.mode("append").partitionBy("bucket").parquet(blobs_path)
+        write_gorilla_batch(batch_df, batch_id, blobs_path)
 
     return (
         rolled.writeStream.foreachBatch(write_batch)

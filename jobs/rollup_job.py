@@ -65,7 +65,7 @@ def main(argv=None):
         blobs = gorilla_compress(
             points.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
             key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-            verify="sample", emit_blobs=True,
+            verify="full", emit_blobs=True,
         )
         blobs.write.mode("overwrite").partitionBy("bucket").parquet(args.compress_1m)
         agg = blobs.agg(F.sum("n_points").alias("np"), F.sum("ts_bytes").alias("tb"),

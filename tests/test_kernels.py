@@ -183,6 +183,84 @@ def test_gorilla_prefix_and_sampled_verify():
     assert stf["roundtrip_ok"] and stf["verified_points"] == n
 
 
+def test_gorilla_batch_decoders_match_scalar():
+    """The lockstep batch decoders (decode_*_blocks) are an independent
+    implementation from the scalar per-block decoders; both must reproduce
+    the source bit-exactly across block-length mixes, including the
+    scalar-tail fallback for skewed lengths and the n∈{1,2} edge blocks."""
+    from ezmsg_sigproc_spark.operators.compression import (
+        decode_timestamp_blocks, decode_timestamps, decode_value_blocks,
+        decode_values, encode_timestamps, encode_values,
+    )
+
+    rng = np.random.default_rng(11)
+    for lens in ([1, 2, 3, 64, 65, 1000, 7, 1], [5000] + [20] * 40, [4],
+                 list(rng.integers(1, 200, 64))):
+        tblobs, vblobs, tss, vss = [], [], [], []
+        for n in (int(x) for x in lens):
+            deltas = rng.choice(
+                [0, 1, 60_000_000, -5, 123456789, 3_000_000_000_000],
+                size=max(n - 1, 0))
+            base = int(rng.integers(0, 10**12))
+            ts = np.concatenate([[base], base + np.cumsum(deltas)])[:n].astype(np.int64)
+            vals = np.asarray(np.where(rng.random(n) < 0.4, 42.0,
+                                       rng.standard_normal(n) * 1e3), np.float64)
+            tblobs.append(encode_timestamps(ts))
+            vblobs.append(encode_values(vals))
+            tss.append(ts)
+            vss.append(vals)
+        ns = np.array([int(x) for x in lens])
+        dts, offs = decode_timestamp_blocks(tblobs, ns)
+        dvs, _ = decode_value_blocks(vblobs, ns)
+        for i, n in enumerate(ns):
+            s, e = offs[i], offs[i + 1]
+            np.testing.assert_array_equal(dts[s:e], tss[i])
+            np.testing.assert_array_equal(dts[s:e], decode_timestamps(tblobs[i], n))
+            np.testing.assert_array_equal(dvs[s:e].view(np.uint64), vss[i].view(np.uint64))
+            np.testing.assert_array_equal(dvs[s:e].view(np.uint64),
+                                          decode_values(vblobs[i], n).view(np.uint64))
+
+
+def test_pack_varbits_word_scatter_matches_bitmatrix():
+    """The word-scatter packer must be byte-identical to the bit-matrix
+    reference implementation for random widths 0..64 incl. chunk crossings."""
+    from ezmsg_sigproc_spark.operators.compression import (
+        _pack_varbits, _pack_varbits_bitmatrix,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 1000, 300_000):
+        nb = rng.integers(0, 65, n)
+        v = rng.integers(0, 2**63, n, dtype=np.uint64) * np.uint64(2) + rng.integers(
+            0, 2, n).astype(np.uint64)
+        assert _pack_varbits(v, nb) == _pack_varbits_bitmatrix(v, nb)
+
+
+def test_gorilla_verify_blocks_detects_corruption():
+    from ezmsg_sigproc_spark.operators.compression import (
+        encode_timestamps, encode_values, verify_blocks,
+    )
+
+    rng = np.random.default_rng(13)
+    ns = [50, 80, 1]
+    tss = [np.cumsum(rng.integers(1, 100, n)).astype(np.int64) for n in ns]
+    vss = [rng.standard_normal(n).cumsum() for n in ns]
+    tb = [encode_timestamps(t) for t in tss]
+    vb = [encode_values(v) for v in vss]
+    cat_t, cat_v = np.concatenate(tss), np.concatenate(vss)
+    starts = np.concatenate([[0], np.cumsum(ns)])
+    ok = verify_blocks(tb, vb, cat_t, cat_v, starts, np.array(ns))
+    assert ok.all()
+    bad = bytearray(vb[1])
+    bad[5] ^= 0x40
+    ok2 = verify_blocks(tb, [vb[0], bytes(bad), vb[2]], cat_t, cat_v, starts, np.array(ns))
+    assert list(ok2) == [True, False, True]
+    # vps == 0 → vacuous pass
+    ok3 = verify_blocks(tb, [vb[0], bytes(bad), vb[2]], cat_t, cat_v, starts,
+                        np.array([50, 0, 1]))
+    assert list(ok3) == [True, True, True]
+
+
 # ------------------------------------------------------------- scan IIR ----
 
 def test_sosfilt_scan_matches_per_sample_loop():

@@ -77,3 +77,29 @@ def test_decode_media_headers_spark(spark):
     assert out[3].format == "wav" and out[3].sample_rate == 16000 and out[3].duration_ms == 2000
     assert out[4].format == "unknown" and out[4].width is None
     assert all(out[i].n_bytes == len(rows[i][1]) for i in range(5))
+
+
+def test_jpeg_walker_stops_at_sos_and_skips_stuffing():
+    """A JPEG whose scan data precedes any SOF must yield null dimensions —
+    the walker stops at SOS (0xDA) / EOI (0xD9) and never interprets
+    entropy-coded bytes (incl. a stuffed 0xFF00 and a fake 0xFFC0 pattern
+    inside the scan) as frame headers."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x00\x00\x00\x3f\x00"
+    # entropy data containing a stuffed 0xFF00 and bytes that LOOK like an
+    # SOF0 marker with a plausible length + huge dimensions
+    scan = b"\x12\xff\x00\x34" + b"\xff\xc0" + struct.pack(">H", 17) \
+        + bytes([8]) + struct.pack(">HH", 60000, 60000) + bytes([3]) + b"\x00" * 9
+    m = parse_media_header(b"\xff\xd8" + app0 + sos + scan + b"\xff\xd9")
+    assert m["format"] == "jpeg"
+    assert m["width"] is None and m["height"] is None
+
+    # EOI directly after metadata, no SOF: also null
+    m2 = parse_media_header(b"\xff\xd8" + app0 + b"\xff\xd9" + b"\xff\xc0" * 8)
+    assert m2["format"] == "jpeg" and m2["width"] is None
+
+    # fill bytes (0xFF padding) before a real SOF still parse
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) \
+        + struct.pack(">HH", 33, 44) + bytes([3]) + b"\x00" * 9
+    m3 = parse_media_header(b"\xff\xd8" + app0 + b"\xff" + sof0 + b"\xff\xd9")
+    assert (m3["width"], m3["height"]) == (44, 33)

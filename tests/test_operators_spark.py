@@ -325,6 +325,69 @@ def test_group_apply_sorted_equals_applyinpandas(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
 
 
+def test_group_apply_sorted_null_keys_kept(spark):
+    """Null-key rows must form ONE group (Spark's applyInPandas keeps a
+    null-key group; pandas groupby would drop it by default, and NaN != NaN
+    boundary detection would shatter the run into per-row groups)."""
+    import numpy as np
+    import pandas as pd
+
+    from ezmsg_sigproc_spark.operators.serieslift import group_apply_sorted
+
+    pdf = pd.DataFrame({
+        "key": ["a", "a", None, None, None, "b"],
+        "ts": [0.0, 1.0, 0.0, 1.0, 2.0, 0.0],
+        "value": [1.0, 2.0, 10.0, 20.0, 30.0, 5.0],
+    })
+    df = spark.createDataFrame(pdf, "key string, ts double, value double")
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        g["out"] = g["value"].cumsum()
+        return g
+
+    schema = "key string, ts double, value double, out double"
+    got = group_apply_sorted(df, kern, ["key"], "ts", schema).toPandas()
+    null_rows = got[got["key"].isna()].sort_values("ts")
+    assert list(null_rows["out"]) == [10.0, 30.0, 60.0]  # one cumsum chain
+    assert len(got) == 6
+
+
+def test_apply_matrix_kernel_pivot_cap_splits_skewed_batch(spark):
+    """With the pivot cell cap forced tiny, a skewed batch (one long key +
+    many short) must split into per-bucket pivots and still match the
+    uncapped result exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from ezmsg_sigproc_spark.operators import serieslift
+
+    rng = np.random.default_rng(5)
+    frames = [pd.DataFrame({"key": "long", "ts": np.arange(3000, dtype=float),
+                            "value": rng.standard_normal(3000)})]
+    for k in range(200):
+        frames.append(pd.DataFrame({"key": f"s{k:03d}", "ts": [0.0, 1.0],
+                                    "value": rng.standard_normal(2)}))
+    full = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(full, "key string, ts double, value double")
+
+    def kernel(mat):
+        return np.cumsum(mat, axis=0)  # causal, column-independent
+
+    big = serieslift.apply_matrix_kernel(
+        df, kernel, ["key"], "ts", "value", "out").toPandas()
+    small = serieslift.apply_matrix_kernel(
+        df, kernel, ["key"], "ts", "value", "out", pivot_cap=4096).toPandas()
+    a = big.sort_values(["key", "ts"]).reset_index(drop=True)
+    b = small.sort_values(["key", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    exp = full.sort_values(["key", "ts"]).groupby("key")["value"].cumsum()
+    np.testing.assert_allclose(
+        b["out"].to_numpy(),
+        full.sort_values(["key", "ts"]).assign(e=exp).sort_values(["key", "ts"])["e"].to_numpy(),
+        rtol=1e-12)
+
+
 def test_cosine_near_dup_finds_planted_duplicates(spark):
     """Identical/near-identical vectors collide in every LSH table, so the
     near-dup operator must always surface them; orthogonal vectors must not

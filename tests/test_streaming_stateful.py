@@ -209,3 +209,39 @@ def test_streaming_rollup_to_gorilla_compaction(spark, tmp_path):
     np.testing.assert_array_equal(got.url.to_numpy(), exp.url.to_numpy())
     np.testing.assert_allclose(got.ts.to_numpy(), exp.bin_m.to_numpy() * 60.0, atol=1e-6)
     np.testing.assert_allclose(got.value.to_numpy(), exp.value.to_numpy(), rtol=1e-12)
+
+
+def test_write_gorilla_batch_idempotent_on_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same batch_id must
+    REPLACE the batch's output, not append duplicate blocks."""
+    from ezmsg_sigproc_spark.operators.compression import gorilla_decode
+    from ezmsg_sigproc_spark.streaming.stream_rollup import write_gorilla_batch
+
+    pdf = pd.DataFrame({
+        "url": ["u1"] * 3 + ["u2"] * 2,
+        "bin_m": [100, 101, 102, 100, 101],
+        "n": [2.0, 1.0, 4.0, 1.0, 1.0],
+        "sum": [10.0, 6.0, 20.0, 7.0, 9.0],
+    })
+    batch = spark.createDataFrame(pdf, "url string, bin_m bigint, n double, sum double")
+    path = str(tmp_path / "blobs")
+    write_gorilla_batch(batch, 7, path)
+    write_gorilla_batch(batch, 7, path)  # simulated retry of the SAME batch
+    back = gorilla_decode(
+        spark.read.parquet(path), key_cols=["url", "bucket"],
+        ts_col="ts", value_col="value",
+    ).toPandas()
+    assert len(back) == 5  # no duplicated points
+    got = back.sort_values(["url", "ts"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["value"].to_numpy(),
+                               (pdf["sum"] / pdf["n"]).to_numpy())
+    # a DIFFERENT batch id appends new, disjoint windows
+    pdf2 = pdf.assign(bin_m=pdf.bin_m + 10)
+    batch2 = spark.createDataFrame(pdf2, "url string, bin_m bigint, n double, sum double")
+    write_gorilla_batch(batch2, 8, path)
+    assert len(spark.read.parquet(path).collect()) > 0
+    back2 = gorilla_decode(
+        spark.read.parquet(path), key_cols=["url", "bucket"],
+        ts_col="ts", value_col="value",
+    ).toPandas()
+    assert len(back2) == 10
