@@ -139,33 +139,52 @@ def rollup_1m_envelope(spark, sf_dir):
 @q(
     "rollup_1h_from_1m",
     """
-    SELECT user_id,
-           CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS bin_m,
-           count(value) AS n,
+    WITH sig AS (SELECT CAST(user_id AS VARCHAR) AS url, epoch(ts) AS t, value
+                 FROM events),
+    b AS (SELECT floor((min(t) + 4000) / 7200) * 7200 AS t0a,
+                 ceil((max(t) - 4000) / 7200) * 7200 AS t1a FROM sig)
+    SELECT CAST(s.url AS BIGINT) AS user_id,
+           CAST(floor(s.t / 7200.0) AS BIGINT) AS bin_m,
+           count(*) AS n,
            round(sum(value), 6) AS sum,
            min(value) AS min,
            max(value) AS max,
            round(avg(value), 6) AS mean
-    FROM events GROUP BY 1, 2
+    FROM sig s, b
+    WHERE floor(s.t / 7200.0) * 7200 >= b.t0a AND floor(s.t / 7200.0) * 7200 < b.t1a
+    GROUP BY 1, 2
     """,
 )
 def rollup_1h_from_1m(spark, sf_dir):
-    """Tier composition: 1h tier re-aggregated from 1m decomposable partials
-    (plans/rollup_tiers.rollup_next); oracle computes 1h directly from raw —
-    equality IS the partial-composition proof."""
-    ev = _events(spark, sf_dir)
-    m1 = time_binned_aggregate(ev, 60.0, ["count", "sum", "min", "max"],
-                               key_cols=["user_id"], ts_col="ts", value_col="value")
-    h1 = (
-        m1.withColumn("bin_m", F.floor(F.col("bin_m") / 60).cast("bigint"))
-        .groupBy("user_id", "bin_m")
-        .agg(
-            F.sum("count").alias("n"), F.sum("sum").alias("sum"),
-            F.min("min").alias("min"), F.max("max").alias("max"),
-        )
+    """Continuous-aggregate READ path, end to end: 1m partials →
+    RollupStore (hive ts_bucket partitions + lineage) → 1h tier from
+    rollup_next → ``read_resolution`` at a 2-HOUR grid with deliberately
+    UNALIGNED [t0, t1) bounds. Tier routing must pick the 1h tier (largest
+    divisor of 7200), re-aggregate its partials by factor 2, align the
+    bounds to the requested grid (floor t0 / ceil t1 — the edge-bin
+    correctness fix), and prune on the ts_bucket partition column. The
+    oracle computes the same 2h bins directly from raw events — equality is
+    the partial-composition AND store-read proof in one row set."""
+    import tempfile
+
+    from .plans.rollup_tiers import (
+        RollupStore,
+        read_resolution,
+        rollup_base,
+        rollup_next,
     )
-    return h1.select(
-        "user_id", "bin_m", "n", _r6(F.col("sum")).alias("sum"), "min", "max",
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("url"), "ts", "value")
+    r1m = rollup_base(ev, 60)
+    store = RollupStore(spark, tempfile.mkdtemp(prefix="ca_store_"))
+    store.write_tier("1m", r1m, resume=False)
+    store.write_tier("1h", rollup_next(r1m, 60), resume=False)
+    b = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
+    out = read_resolution(store, 7200, t0=b.t0 + 4000.0, t1=b.t1 - 4000.0)
+    return out.select(
+        F.col("url").cast("bigint").alias("user_id"), "bin_m", "n",
+        _r6(F.col("sum")).alias("sum"), "min", "max",
         _r6(F.col("sum") / F.col("n")).alias("mean"),
     )
 

@@ -65,7 +65,8 @@ def fixture_oracle(name: str, out_cols, round6=(), round4=(), bigint=(), double=
 
 # ============================================================= IIR suite ====
 
-_IIR_SCHEMA = "variant string, user_id bigint, n bigint, mean_y double, last_y double, wmean_y double"
+_IIR_SCHEMA = ("variant string, user_id bigint, n bigint, mean_y double, "
+               "last_y double, wmean_y double, vhash bigint")
 
 
 def _series_aggs(y: np.ndarray):
@@ -78,45 +79,86 @@ def _series_aggs(y: np.ndarray):
     "iir_filters_suite",
     fixture_oracle(
         "iir_filters_suite",
-        ["variant", "user_id", "n", "mean_y", "last_y", "wmean_y"],
+        ["variant", "user_id", "n", "mean_y", "last_y", "wmean_y", "vhash"],
         round6=("mean_y", "last_y", "wmean_y"),
-        bigint=("user_id", "n"),
+        bigint=("user_id", "n", "vhash"),
     ),
 )
 def iir_filters_suite(spark, sf_dir):
-    """All IIR kernel variants in one shuffle, value-checked against the
-    independent per-sample-loop numpy fixture: Butterworth LP4
+    """All IIR kernel variants, value-checked against the independent
+    per-sample-loop numpy fixture: Butterworth LP4
     (butterworthfilter.py:115-159), Chebyshev-I LP4 (cheby.py:18-127), comb
     notch (combfilter.py:19-60), zero-phase Butterworth
     (butterworthzerophase.py:1-40), and Decimate's cheby8 anti-alias chain
-    (decimate.py:14-70). Metrics per (variant, user): n, mean, last,
-    index-weighted mean — order-sensitive summaries of the full series."""
-    from .operators.filters import butter_sos, sosfilt, sosfilt_zi
+    (decimate.py:14-70). Per (variant, user): n, mean, last, index-weighted
+    mean PLUS ``vhash`` — the positional checksum of the FULL rounded output
+    vector (functions/hashing.py), so the driver row has per-sample strength.
+
+    Execution shape (VERDICT r2 item 5): one ``map_key_batches`` lift pivots
+    each Arrow batch into a (time × users) matrix; the four causal variants
+    run as single ``sosfilt_mat`` calls over ALL the batch's users at once
+    (the matrix-batched path that took butterworth_lowpass 5.2 s → 1.0 s);
+    only the non-causal zero-phase variant walks columns (tail padding would
+    contaminate its backward pass)."""
+    from .functions.hashing import matrix_vhash
+    from .operators.filters import butter_sos, sosfilt_mat, sosfilt_zi
     from .operators.filters2 import cheby_sos, comb_sos, sosfiltfilt_np
+    from .operators.serieslift import key_change_mask, map_key_batches
 
     sos_butter = butter_sos(4, 0.05, "lowpass", fs=1.0)
     sos_cheby = cheby_sos(4, 1.0, 0.05, "lowpass", fs=1.0, cheby_type="cheby1")
     sos_comb = comb_sos(1.0, fundamental_freq=0.1, num_harmonics=3, q_factor=10.0)
     sos_dec = cheby_sos(8, 0.05, 0.4 * 0.25, "lowpass", fs=1.0, cheby_type="cheby1")
+    causal = {"butter_lp4": sos_butter, "cheby1_lp4": sos_cheby,
+              "comb_notch": sos_comb, "decimate_q4": sos_dec}
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        x = pdf["value"].to_numpy(np.float64)
-        uid = pdf["user_id"].iloc[0]
-        variants = {
-            "butter_lp4": sosfilt(sos_butter, x, sosfilt_zi(sos_butter) * x[0]),
-            "cheby1_lp4": sosfilt(sos_cheby, x, sosfilt_zi(sos_cheby) * x[0]),
-            "comb_notch": sosfilt(sos_comb, x, sosfilt_zi(sos_comb) * x[0]),
-            "butter_zerophase": sosfiltfilt_np(sos_butter, x),
-            "decimate_q4": sosfilt(sos_dec, x, sosfilt_zi(sos_dec) * x[0])[::4],
-        }
-        rows = [(name, uid, *_series_aggs(y)) for name, y in variants.items()]
-        return pd.DataFrame(rows, columns=["variant", "user_id", "n", "mean_y", "last_y", "wmean_y"])
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        change = key_change_mask(pdf[["user_id"]])
+        starts = np.flatnonzero(change)
+        codes = np.cumsum(change) - 1
+        lengths = np.diff(np.append(starts, len(pdf)))
+        pos = np.arange(len(pdf)) - np.repeat(starts, lengths)
+        K = len(starts)
+        X = np.zeros((int(lengths.max()), K))
+        X[pos, codes] = pdf["value"].to_numpy(np.float64)
+        uids = pdf["user_id"].to_numpy()[starts]
+        kidx = np.arange(K)
+
+        def summarize(name: str, Y: np.ndarray, L: np.ndarray) -> pd.DataFrame:
+            rowpos = np.arange(Y.shape[0])[:, None]
+            Ym = np.where(rowpos < L[None, :], Y, 0.0)
+            mean = Ym.sum(axis=0) / L
+            last = Y[L - 1, kidx]
+            wmean = (Ym * (rowpos + 1)).sum(axis=0) / (L * (L + 1) / 2.0)
+            # decimals=2: the fixture's per-sample LOOP and this prefix-scan
+            # implementation agree to ~2e-12 absolute (measured on sf0.01);
+            # a 1e-2 rounding grid leaves ~9 orders of tie margin while still
+            # flipping the hash for any real error ≥ 0.005 at ANY sample
+            return pd.DataFrame({
+                "variant": name, "user_id": uids, "n": L, "mean_y": mean,
+                "last_y": last, "wmean_y": wmean,
+                "vhash": matrix_vhash(Y, L, decimals=2),
+            })
+
+        frames = []
+        for name, sos in causal.items():
+            zi = sosfilt_zi(sos)[:, :, None] * X[0][None, None, :]
+            Y = sosfilt_mat(sos, X, zi)
+            if name == "decimate_q4":
+                frames.append(summarize(name, Y[::4], (lengths + 3) // 4))
+            else:
+                frames.append(summarize(name, Y, lengths))
+        Yz = np.zeros_like(X)
+        for k in range(K):
+            Yz[: lengths[k], k] = sosfiltfilt_np(sos_butter, X[: lengths[k], k])
+        frames.append(summarize("butter_zerophase", Yz, lengths))
+        return pd.concat(frames, ignore_index=True)
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
-    out = ev.groupBy("user_id").applyInPandas(kern, _IIR_SCHEMA)
+    out = map_key_batches(ev, run, ["user_id"], "ts", _IIR_SCHEMA)
     return out.select("variant", "user_id", "n", _r6(F.col("mean_y")).alias("mean_y"),
-                      _r6(F.col("last_y")).alias("last_y"), _r6(F.col("wmean_y")).alias("wmean_y"))
+                      _r6(F.col("last_y")).alias("last_y"),
+                      _r6(F.col("wmean_y")).alias("wmean_y"), "vhash")
 
 
 # ==================================================== FIR/adaptive suite ====
@@ -125,23 +167,29 @@ def iir_filters_suite(spark, sf_dir):
     "fir_adaptive_suite",
     fixture_oracle(
         "fir_adaptive_suite",
-        ["variant", "user_id", "k", "v"],
+        ["variant", "user_id", "k", "v", "vhash"],
         round6=("v",),
-        bigint=("user_id",),
+        bigint=("user_id", "vhash"),
     ),
 )
 def fir_adaptive_suite(spark, sf_dir):
     """FIR Hilbert envelope (fir_hilbert.py:22-335), labeled filterbank
-    (filterbank.py:26-302), LMS mains canceller (adaptive_lnc.py) and the
-    frequency-tracking lattice notch (adaptive_lattice_notch.py:12-55) in one
-    shuffle; values pinned by the numpy fixture."""
+    (filterbank.py:26-302), Kaiser-designed lowpass (kaiser.py:18-108 —
+    kaiserord window estimation → windowed-sinc taps), LMS mains canceller
+    (adaptive_lnc.py) and the frequency-tracking lattice notch
+    (adaptive_lattice_notch.py:12-55) in one shuffle; values pinned by the
+    numpy fixture, with ``vhash`` carrying the positional checksum of each
+    variant's FULL output series (functions/hashing.py)."""
+    from .functions.hashing import series_vhash
     from .operators.filters import fir_filter_np
     from .operators.filters2 import (
         adaptive_lattice_notch,
         fir_hilbert,
         firwin,
+        kaiser_firwin,
         lms_mains_canceller,
     )
+    from .operators.serieslift import group_apply_sorted
 
     hil = fir_hilbert(31)
     fb = {
@@ -149,35 +197,42 @@ def fir_adaptive_suite(spark, sf_dir):
         "mid": firwin(17, (0.05, 0.15), fs=1.0),
         "high": firwin(17, 0.15, fs=1.0, pass_zero=False),
     }
+    kai = kaiser_firwin(0.05, ripple_db=60.0, width_hz=0.02, fs=1.0)
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
         x = pdf["value"].to_numpy(np.float64)
         uid = pdf["user_id"].iloc[0]
         n = x.size
         rows = []
         env = np.sqrt(x * x + fir_filter_np(x, hil, "same") ** 2)
         _, mean, last, wmean = _series_aggs(env)
-        rows += [("hilbert_envelope", uid, "mean", mean),
-                 ("hilbert_envelope", uid, "last", last),
-                 ("hilbert_envelope", uid, "wmean", wmean)]
+        eh = series_vhash(env)
+        rows += [("hilbert_envelope", uid, "mean", mean, eh),
+                 ("hilbert_envelope", uid, "last", last, eh),
+                 ("hilbert_envelope", uid, "wmean", wmean, eh)]
         for band, taps in fb.items():
             y = fir_filter_np(x, taps, "same")
-            rows.append(("filterbank", uid, band, float(np.mean(np.abs(y)))))
+            rows.append(("filterbank", uid, band, float(np.mean(np.abs(y))),
+                         series_vhash(y)))
+        yk = fir_filter_np(x, kai, "same")
+        rows.append(("kaiser_lp", uid, "mean_abs", float(np.mean(np.abs(yk))),
+                     series_vhash(yk)))
         t = np.arange(n)
         tone = 25.0 * np.sin(2 * np.pi * 0.1 * t)
         y = lms_mains_canceller(x + tone, f0=0.1, fs=1.0, lr=0.05)
         rows.append(("lms_canceller", uid, "residual_tone_power",
-                     float(np.mean((y - x)[n // 2:] ** 2))))
+                     float(np.mean((y - x)[n // 2:] ** 2)), series_vhash(y)))
         tone2 = np.sin(2 * np.pi * 0.15 * t)
         _, freqs = adaptive_lattice_notch(tone2, f0_init=0.1, fs=1.0, mu=2e-3)
-        rows.append(("lattice_notch", uid, "tracked_freq", float(freqs[-1])))
-        return pd.DataFrame(rows, columns=["variant", "user_id", "k", "v"])
+        rows.append(("lattice_notch", uid, "tracked_freq", float(freqs[-1]),
+                     series_vhash(freqs)))
+        return pd.DataFrame(rows, columns=["variant", "user_id", "k", "v", "vhash"])
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
-    out = ev.groupBy("user_id").applyInPandas(
-        kern, "variant string, user_id bigint, k string, v double")
-    return out.select("variant", "user_id", "k", _r6(F.col("v")).alias("v"))
+    out = group_apply_sorted(
+        ev, kern, ["user_id"], "ts",
+        "variant string, user_id bigint, k string, v double, vhash bigint")
+    return out.select("variant", "user_id", "k", _r6(F.col("v")).alias("v"), "vhash")
 
 
 # ========================================================= spectral suite ====
@@ -219,22 +274,63 @@ def spectral_suite(spark, sf_dir):
     "cwt_suite",
     fixture_oracle(
         "cwt_suite",
-        ["variant", "user_id", "k", "v"],
+        ["variant", "user_id", "k", "v", "vhash"],
         round6=("v",),
-        bigint=("user_id",),
+        bigint=("user_id", "vhash"),
     ),
 )
 def cwt_suite(spark, sf_dir):
     """Ricker and Morlet CWT filterbanks (reference wavelets.py:22-60),
-    summarized per (user, scale/freq) and pinned by the numpy fixture."""
-    a = RAW_QUERIES["cwt_ricker"](spark, sf_dir).select(
-        F.lit("cwt_ricker").alias("variant"), "user_id",
-        F.col("scale").alias("k"), F.col("mean_abs_coef").alias("v"))
-    b = RAW_QUERIES["cwt_morlet"](spark, sf_dir).select(
+    per (user, scale/freq) mean |coefficient| PLUS ``vhash`` — the positional
+    checksum of the full |coefficient| series, so a mid-series error cannot
+    hide behind the mean. The Morlet half drives the actual
+    ``operators.spectrum.cwt_morlet`` operator and checksums its per-sample
+    rows IN SPARK SQL (``functions.hashing.vhash_agg`` over the row
+    position); the Ricker half checksums inside the kernel."""
+    from pyspark.sql import Window
+
+    from .functions.hashing import series_vhash, vhash_agg
+    from .operators.filters import fir_filter_np
+    from .operators.serieslift import group_apply_sorted
+    from .operators.spectrum import cwt_morlet
+
+    def ricker(points: int, a: float) -> np.ndarray:
+        vec = np.arange(0, points) - (points - 1.0) / 2
+        amp = 2 / (np.sqrt(3 * a) * np.pi**0.25)
+        return amp * (1 - (vec / a) ** 2) * np.exp(-0.5 * (vec / a) ** 2)
+
+    kernels = {f"a{a:g}": ricker(int(10 * a), a) for a in (2.0, 4.0, 8.0)}
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["value"].to_numpy(np.float64)
+        uid = pdf["user_id"].iloc[0]
+        rows = []
+        for k, taps in kernels.items():
+            y = np.abs(fir_filter_np(x, taps, "same"))
+            rows.append(("cwt_ricker", uid, k, float(y.mean()), series_vhash(y)))
+        return pd.DataFrame(rows, columns=["variant", "user_id", "k", "v", "vhash"])
+
+    ev20 = _events(spark, sf_dir).filter(F.col("user_id") < 20).select(
+        "user_id", "ts", "value")
+    a = group_apply_sorted(
+        ev20, kern, ["user_id"], "ts",
+        "variant string, user_id bigint, k string, v double, vhash bigint")
+
+    ev10 = _events(spark, sf_dir).filter(F.col("user_id") < 10).select(
+        "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev10 = ev10.withColumn("ts", (F.row_number().over(w) - 1).cast("double"))
+    coefs = cwt_morlet(ev10, fs=1.0, freqs=[0.05, 0.1, 0.2], key_cols=["user_id"],
+                       ts_col="ts", value_col="value")
+    b = coefs.groupBy("user_id", "freq_hz").agg(
+        F.avg("abs_coef").alias("v"),
+        vhash_agg("abs_coef", "ts").alias("vhash"),
+    ).select(
         F.lit("cwt_morlet").alias("variant"), "user_id",
         F.concat(F.lit("f"), F.col("freq_hz").cast("string")).alias("k"),
-        F.col("mean_abs_coef").alias("v"))
-    return a.unionByName(b)
+        "v", "vhash")
+    out = a.unionByName(b)
+    return out.select("variant", "user_id", "k", _r6(F.col("v")).alias("v"), "vhash")
 
 
 # ======================================================== ANN recall suite ====
@@ -368,18 +464,46 @@ def text_analysis_suite(spark, sf_dir):
     SELECT 'slicer_regex' AS variant, event_type AS k, CAST(n AS BIGINT) AS n, mean FROM sl
     UNION ALL
     SELECT 'flatten_keys', flat_key, CAST(n AS BIGINT), 0.0 FROM fl
+    UNION ALL
+    SELECT 'transpose', event_type, CAST(count(*) AS BIGINT), round(avg(value), 6)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'extract_axis', event_type, CAST(count(*) AS BIGINT),
+           round(avg(floor(epoch(ts)) % 86400), 6)
+    FROM events GROUP BY event_type
     """,
 )
 def select_reshape_suite(spark, sf_dir):
     """Slicer (regex over labels, slicer.py:58-316) + Flatten (label join,
-    flatten.py:1-45), merged with exact SQL twins."""
+    flatten.py:1-45) + Transpose (dim permute → column reorder,
+    transpose.py:41-130) + ExtractAxisData (axis coordinates as data,
+    extract_axis.py:14-38), merged with exact SQL twins. The transpose
+    variant aggregates THROUGH the reordered frame (proving the permute is
+    content-preserving); extract_axis aggregates the extracted ts-as-value
+    column."""
+    from .operators.select import extract_axis, transpose
+
     a = RAW_QUERIES["slicer_regex"](spark, sf_dir).select(
         F.lit("slicer_regex").alias("variant"), F.col("event_type").alias("k"),
         F.col("n").cast("bigint").alias("n"), F.col("mean"))
     b = RAW_QUERIES["flatten_keys"](spark, sf_dir).select(
         F.lit("flatten_keys").alias("variant"), F.col("flat_key").alias("k"),
         F.col("n").cast("bigint").alias("n"), F.lit(0.0).alias("mean"))
-    return a.unionByName(b)
+    ev = _events(spark, sf_dir)
+    tr = transpose(ev, ["value", "ts", "user_id", "event_type"])
+    c = tr.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"), _r6(F.avg("value")).alias("mean")
+    ).select(F.lit("transpose").alias("variant"), F.col("event_type").alias("k"),
+             "n", "mean")
+    # mean time-of-day of the extracted coordinates (bounded values — an
+    # average of raw epochs would exceed 6-dp float associativity)
+    ex = extract_axis(ev, ["event_type"], ts_col="ts")
+    d = ex.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        _r6(F.avg(F.floor(F.col("value")) % 86400)).alias("mean")
+    ).select(F.lit("extract_axis").alias("variant"), F.col("event_type").alias("k"),
+             "n", "mean")
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 # ===================================================== math/coordinate suite ====

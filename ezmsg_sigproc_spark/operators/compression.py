@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .serieslift import key_change_mask
+from .serieslift import key_change_mask, map_key_batches
 
 
 class _BitReader:
@@ -682,30 +682,7 @@ def gorilla_compress(
     # partition-level batch encode: blocks are numerous and small at scale
     # (one per (key, time-bucket)); both the per-group Arrow crossing AND the
     # per-block numpy dispatch are amortized over the whole Arrow batch
-    num_partitions = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    arranged = df.repartition(num_partitions, *key_cols).sortWithinPartitions(
-        *key_cols, ts_col
-    )
-
-    def fn(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            change = key_change_mask(pdf[key_cols])
-            last_start = int(change.nonzero()[0][-1])
-            if last_start == 0:
-                carry = pdf
-                continue
-            carry = pdf.iloc[last_start:].reset_index(drop=True)
-            yield encode_batch(pdf.iloc[:last_start].reset_index(drop=True))
-        if carry is not None and len(carry):
-            yield encode_batch(carry)
-
-    return arranged.mapInPandas(fn, schema=schema)
+    return map_key_batches(df, encode_batch, key_cols, ts_col, schema)
 
 
 # ------------------------------------------------- cross-block vectorized ----

@@ -51,9 +51,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
     """One row per doc with minhash columns m0..m{n-1}.
 
     Hash family = 8-hex-char (32-bit) slices of md5(shingle) and
-    md5('#'+shingle). Structured as explode → project (2 md5 per shingle,
-    evaluated once) → groupBy min. String-min over hex slices is
-    engine-independent, so the DuckDB oracle reproduces it exactly.
+    md5('#'+shingle), carried as BIGINT (``conv(slice, 16, 10)``): min over
+    the int64 value selects the same shingle as min over the fixed-width
+    lowercase hex string (both orders are the numeric order of the slice),
+    so the DuckDB oracle — which keeps the hex-string formulation — produces
+    identical candidates, while the signature shuffle carries 8 bytes per
+    hash instead of ~4× that as a string (VERDICT r2 item 4).
 
     Measured note (round 2): a shuffle-free formulation via higher-order
     array lambdas (transform → array_min within the row) is 3× SLOWER — HOF
@@ -69,7 +72,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
     )
     hashed = sh.select("id", F.md5("s").alias("h1"), F.md5(F.concat(F.lit("#"), F.col("s"))).alias("h2"))
     aggs = [
-        F.min(F.substring("h1" if j < 4 else "h2", (j % 4) * 8 + 1, 8)).alias(f"m{j}")
+        F.min(
+            F.conv(F.substring("h1" if j < 4 else "h2", (j % 4) * 8 + 1, 8), 16, 10)
+            .cast("bigint")
+        ).alias(f"m{j}")
         for j in range(n_hashes)
     ]
     return hashed.groupBy("id").agg(*aggs)
@@ -109,7 +115,22 @@ def minhash_lsh_candidates_with_stats(
     100 TB the oversize buckets are exactly the boilerplate/templated content
     worth a separate report)."""
     rows_per_band = n_hashes // bands
+    if rows_per_band > 2:
+        raise ValueError("band packing supports at most 2 32-bit rows per band")
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+
+    def band_sig(b: int):
+        # injective pack of the band's 32-bit minhashes into ONE bigint —
+        # the band join shuffles (band_id, band_sig) as 12 bytes per row
+        # instead of a concatenated hex string. The first hash is centered
+        # (−2³¹) so the affine pack spans [−2⁶³, 2⁶³) without BIGINT
+        # overflow (ANSI mode errors on wrap).
+        first = F.col(f"m{b * rows_per_band}")
+        if rows_per_band == 1:
+            return first
+        return (first - F.lit(2147483648)) * F.lit(4294967296) + F.col(
+            f"m{b * rows_per_band + 1}")
+
     band_rows = sig.select(
         "id",
         F.explode(
@@ -117,9 +138,7 @@ def minhash_lsh_candidates_with_stats(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "#", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("band_sig"),
+                        band_sig(b).alias("band_sig"),
                     )
                     for b in range(bands)
                 ]

@@ -38,6 +38,53 @@ def key_change_mask(keys: pd.DataFrame) -> np.ndarray:
     return out
 
 
+def map_key_batches(
+    df: DataFrame,
+    run: Callable[[pd.DataFrame], pd.DataFrame],
+    key_cols: Sequence[str],
+    ts_col: str,
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The shared partition-level lift: hash-repartition on ``key_cols``,
+    sort within partitions by (keys, ts), and call ``run`` once per Arrow
+    batch with the guarantee that every key's rows appear COMPLETE and
+    contiguous in exactly one call — rows of a key straddling an Arrow batch
+    boundary are carried into the next batch (null-safe key comparison).
+
+    This is the one carry loop behind ``group_apply_sorted``,
+    ``apply_matrix_kernel`` and the Gorilla block encoder.
+    """
+    key_cols = list(key_cols)
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    arranged = df.repartition(num_partitions, *key_cols).sortWithinPartitions(
+        *key_cols, ts_col
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # rows of the batch's LAST key may continue in the next batch —
+            # hold them back (the final flush handles the tail)
+            change = key_change_mask(pdf[key_cols])
+            last_start = int(change.nonzero()[0][-1])
+            if last_start == 0:
+                carry = pdf
+                continue
+            carry = pdf.iloc[last_start:].reset_index(drop=True)
+            yield run(pdf.iloc[:last_start].reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield run(carry)
+
+    return arranged.mapInPandas(fn, schema=schema)
+
+
 def group_apply_sorted(
     df: DataFrame,
     kernel: Callable[[pd.DataFrame], pd.DataFrame],
@@ -53,41 +100,15 @@ def group_apply_sorted(
     that only require their own key's rows; output row order is unspecified
     (as with any shuffle-consuming operator).
     """
-    key_cols = list(key_cols)
-    if num_partitions is None:
-        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    arranged = df.repartition(num_partitions, *key_cols).sortWithinPartitions(
-        *key_cols, ts_col
-    )
+    kc = list(key_cols)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+    def run_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: Spark's applyInPandas contract keeps a null-key
+        # group; pandas groupby would silently drop it by default
+        outs = [kernel(g) for _, g in pdf.groupby(kc, sort=False, dropna=False)]
+        return pd.concat(outs, ignore_index=True)
 
-        def run_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            # dropna=False: Spark's applyInPandas contract keeps a null-key
-            # group; pandas groupby would silently drop it by default
-            outs = [kernel(g) for _, g in pdf.groupby(key_cols, sort=False, dropna=False)]
-            return pd.concat(outs, ignore_index=True)
-
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            # rows of the batch's LAST key may continue in the next batch —
-            # hold them back (the final flush handles the tail)
-            change = key_change_mask(pdf[key_cols])
-            last_start = int(change.nonzero()[0][-1])
-            if last_start == 0:
-                carry = pdf
-                continue
-            carry = pdf.iloc[last_start:].reset_index(drop=True)
-            yield run_groups(pdf.iloc[:last_start])
-        if carry is not None and len(carry):
-            yield run_groups(carry)
-
-    return arranged.mapInPandas(fn, schema=schema)
+    return map_key_batches(df, run_groups, kc, ts_col, schema, num_partitions)
 
 
 _PIVOT_CAP_CELLS = 1 << 23  # 8M float64 cells = 64 MB per pivot — bounds the
@@ -126,11 +147,6 @@ def apply_matrix_kernel(
     """
     key_cols = list(key_cols)
     cap = _PIVOT_CAP_CELLS if pivot_cap is None else int(pivot_cap)
-    if num_partitions is None:
-        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    arranged = df.repartition(num_partitions, *key_cols).sortWithinPartitions(
-        *key_cols, ts_col
-    )
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} double"
 
@@ -177,22 +193,4 @@ def apply_matrix_kernel(
         res[out_col] = out_vals
         return res
 
-    def fn(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            change = key_change_mask(pdf[key_cols])
-            last_start = int(change.nonzero()[0][-1])
-            if last_start == 0:
-                carry = pdf
-                continue
-            carry = pdf.iloc[last_start:].reset_index(drop=True)
-            yield run(pdf.iloc[:last_start].reset_index(drop=True))
-        if carry is not None and len(carry):
-            yield run(carry)
-
-    return arranged.mapInPandas(fn, schema=schema)
+    return map_key_batches(df, run, key_cols, ts_col, schema, num_partitions)

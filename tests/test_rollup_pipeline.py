@@ -243,3 +243,99 @@ def test_reopen_buckets_reingests_late_rows(spark, tmp_path):
     g = got.filter(F.col("ts_bucket") == target).agg(F.sum("n")).collect()[0][0]
     e = exp.filter(F.floor(F.col("bin_m") * 60 / 3600) == target).agg(F.sum("n")).collect()[0][0]
     assert g == e
+
+
+def test_salted_rollup_composes_and_feeds_recurrence_exactly(spark, pages):
+    """Pins the salted_repartition composition claim (rollup_tiers.py prose):
+    a hot url split across salts produces per-(url, salt, bin) partials whose
+    re-aggregation equals the unsalted rollup bin-for-bin, and a recurrence
+    (EWMA) run on the COMPOSED bins — the only place a recurrence may run,
+    at bin boundaries — matches the unsalted chain exactly."""
+    from ezmsg_sigproc_spark.operators.ewma import ewma
+    from ezmsg_sigproc_spark.plans.rollup_tiers import salted_repartition
+
+    sig = pages_signal(pages).filter(F.col("url").isin(
+        [r.url for r in pages.select("url").distinct().limit(3).collect()]))
+
+    # unsalted chain: rollup -> finalize -> EWMA over bin means
+    plain = finalize(rollup_base(sig, 60), 60)
+
+    # salted chain: split each url by ts-derived salt, per-salt partials,
+    # then compose partials across salts at bin boundaries
+    salted = salted_repartition(sig, "url", n_salts=4, n_partitions=8)
+    per_salt = (
+        salted.withColumn("bin_m", F.floor(F.col("ts") / 60).cast("bigint"))
+        .groupBy("url", "_salt", "bin_m")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("sum"),
+             F.min("value").alias("min"), F.max("value").alias("max"),
+             F.sum(F.col("value") * F.col("value")).alias("sum_sq"))
+    )
+    composed = finalize(
+        per_salt.groupBy("url", "bin_m").agg(
+            F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+            F.min("min").alias("min"), F.max("max").alias("max"),
+            F.sum("sum_sq").alias("sum_sq")),
+        60)
+
+    a = plain.toPandas().sort_values(["url", "bin_m"]).reset_index(drop=True)
+    b = composed.toPandas().sort_values(["url", "bin_m"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(
+        a[["url", "bin_m", "n", "min", "max"]], b[["url", "bin_m", "n", "min", "max"]])
+    np.testing.assert_allclose(a["sum"], b["sum"], rtol=1e-12)   # float sum order
+    np.testing.assert_allclose(a["mean"], b["mean"], rtol=1e-12)
+    np.testing.assert_allclose(a["std"], b["std"], rtol=1e-9, atol=1e-12)
+
+    # recurrence stage: EWMA over the bin-mean series of each chain
+    ea = ewma(plain.select("url", F.col("bin_ts").alias("ts"),
+                           F.col("mean").alias("value")), alpha=0.3,
+              key_cols=["url"]).toPandas().sort_values(["url", "ts"])
+    eb = ewma(composed.select("url", F.col("bin_ts").alias("ts"),
+                              F.col("mean").alias("value")), alpha=0.3,
+              key_cols=["url"]).toPandas().sort_values(["url", "ts"])
+    np.testing.assert_allclose(ea["ewma"].to_numpy(), eb["ewma"].to_numpy(),
+                               rtol=1e-12)
+
+
+def test_read_resolution_unaligned_bounds_and_partition_pruning(spark, tmp_path):
+    """read_resolution with t0/t1 NOT multiples of the requested grid must
+    align the bounds (floor/ceil) so edge coarse bins are complete, match a
+    direct computation from raw, and push the ts_bucket bound down to the
+    parquet partition filter (pruning evidence in the physical plan)."""
+    from ezmsg_sigproc_spark.plans.rollup_tiers import read_resolution
+
+    pages = generate_pages(spark, n_urls=10, samples_per_url=2000)
+    sig = pages_signal(pages)
+    store = RollupStore(spark, str(tmp_path / "lake"))
+    r1m = rollup_base(sig, 60)
+    store.write_tier("1m", r1m, resume=False)
+    store.write_tier("1h", rollup_next(r1m, 60), resume=False)
+
+    b = sig.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
+    t0, t1 = b.t0 + 5000.0, b.t1 - 5000.0  # deliberately unaligned to 7200
+    out = read_resolution(store, 7200, t0=t0, t1=t1)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ts_bucket" in plan and "PartitionFilters: [" in plan
+    assert "isnotnull(ts_bucket" in plan or "ts_bucket#" in plan.split("PartitionFilters")[1][:400]
+
+    got = out.toPandas().sort_values(["url", "bin_m"]).reset_index(drop=True)
+    t0a = (int(t0) // 7200) * 7200
+    t1a = -(-int(t1) // 7200) * 7200
+    raw = sig.toPandas()
+    raw["bin_m"] = (raw["ts"] // 7200).astype(int)
+    raw = raw[(raw.bin_m * 7200 >= t0a) & (raw.bin_m * 7200 < t1a)]
+    exp = raw.groupby(["url", "bin_m"]).agg(
+        n=("value", "size"), sum=("value", "sum"),
+        min=("value", "min"), max=("value", "max")).reset_index()
+    exp = exp.sort_values(["url", "bin_m"]).reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["url", "bin_m", "n", "min", "max"]].astype({"n": "int64"}),
+        exp[["url", "bin_m", "n", "min", "max"]].astype({"n": "int64"}))
+    np.testing.assert_allclose(got["sum"], exp["sum"], rtol=1e-12)
+    # edge coarse bins are FULL: first/last returned bins equal direct
+    # computation (pre-fix they were built from a partial fine-bin set)
+    np.testing.assert_allclose(
+        got.iloc[[0, -1]]["mean"].to_numpy(),
+        (exp.iloc[[0, -1]]["sum"] / exp.iloc[[0, -1]]["n"]).to_numpy(), rtol=1e-12)

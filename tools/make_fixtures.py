@@ -48,6 +48,8 @@ from ezmsg_sigproc_spark.operators.filters2 import (  # noqa: E402
     firwin,
     lms_mains_canceller,
 )
+from ezmsg_sigproc_spark.functions.hashing import series_vhash  # noqa: E402
+from ezmsg_sigproc_spark.operators.filters2 import kaiser_firwin  # noqa: E402
 from ezmsg_sigproc_spark.operators.spectrum import _morlet_kernel  # noqa: E402
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
@@ -105,7 +107,10 @@ def iir_rows(df, events_n):
         }
         for name, y in variants.items():
             n, mean, last, wmean = _aggs(y)
-            rows.append((name, int(uid), events_n, n, mean, last, wmean))
+            # decimals=2 for the cross-implementation hash — see the margin
+            # note in entry_suites.iir_filters_suite
+            rows.append((name, int(uid), events_n, n, mean, last, wmean,
+                         series_vhash(y, decimals=2)))
     return rows
 
 
@@ -116,28 +121,35 @@ def fir_rows(df, events_n):
         "mid": firwin(17, (0.05, 0.15), fs=1.0),
         "high": firwin(17, 0.15, fs=1.0, pass_zero=False),
     }
+    kai = kaiser_firwin(0.05, ripple_db=60.0, width_hz=0.02, fs=1.0)
     rows = []
     for uid, g in df.groupby("user_id", sort=True):
         x = g["value"].to_numpy(np.float64)
         n = x.size
         env = np.sqrt(x * x + fir_filter_np(x, hil, "same") ** 2)
         _, mean, last, wmean = _aggs(env)
+        eh = series_vhash(env)
         rows += [
-            ("hilbert_envelope", int(uid), events_n, "mean", mean),
-            ("hilbert_envelope", int(uid), events_n, "last", last),
-            ("hilbert_envelope", int(uid), events_n, "wmean", wmean),
+            ("hilbert_envelope", int(uid), events_n, "mean", mean, eh),
+            ("hilbert_envelope", int(uid), events_n, "last", last, eh),
+            ("hilbert_envelope", int(uid), events_n, "wmean", wmean, eh),
         ]
         for band, taps in fb.items():
             y = fir_filter_np(x, taps, "same")
-            rows.append(("filterbank", int(uid), events_n, band, float(np.mean(np.abs(y)))))
+            rows.append(("filterbank", int(uid), events_n, band,
+                         float(np.mean(np.abs(y))), series_vhash(y)))
+        yk = fir_filter_np(x, kai, "same")
+        rows.append(("kaiser_lp", int(uid), events_n, "mean_abs",
+                     float(np.mean(np.abs(yk))), series_vhash(yk)))
         t = np.arange(n)
         tone = 25.0 * np.sin(2 * np.pi * 0.1 * t)
         y = lms_mains_canceller(x + tone, f0=0.1, fs=1.0, lr=0.05)
         rows.append(("lms_canceller", int(uid), events_n, "residual_tone_power",
-                     float(np.mean((y - x)[n // 2:] ** 2))))
+                     float(np.mean((y - x)[n // 2:] ** 2)), series_vhash(y)))
         tone2 = np.sin(2 * np.pi * 0.15 * t)
         _, freqs = adaptive_lattice_notch(tone2, f0_init=0.1, fs=1.0, mu=2e-3)
-        rows.append(("lattice_notch", int(uid), events_n, "tracked_freq", float(freqs[-1])))
+        rows.append(("lattice_notch", int(uid), events_n, "tracked_freq",
+                     float(freqs[-1]), series_vhash(freqs)))
     return rows
 
 
@@ -196,8 +208,9 @@ def cwt_rows(df, events_n):
     for uid, g in df[df.user_id < 20].groupby("user_id", sort=True):
         x = g["value"].to_numpy(np.float64)
         for k, taps in kernels.items():
-            y = fir_filter_np(x, taps, "same")
-            rows.append(("cwt_ricker", int(uid), events_n, k, float(np.mean(np.abs(y)))))
+            y = np.abs(fir_filter_np(x, taps, "same"))
+            rows.append(("cwt_ricker", int(uid), events_n, k, float(y.mean()),
+                         series_vhash(y)))
     morlets = {f"f{f:g}": _morlet_kernel(f, 1.0) for f in (0.05, 0.1, 0.2)}
     for uid, g in df[df.user_id < 10].groupby("user_id", sort=True):
         x = g["value"].to_numpy(np.float64)
@@ -205,7 +218,8 @@ def cwt_rows(df, events_n):
             pad = len(psi) // 2
             xp = np.concatenate([np.full(pad, x[0]), x, np.full(pad, x[-1])])
             coef = np.abs(np.convolve(xp, psi, mode="valid"))[: x.size]
-            rows.append(("cwt_morlet", int(uid), events_n, k, float(coef.mean())))
+            rows.append(("cwt_morlet", int(uid), events_n, k, float(coef.mean()),
+                         series_vhash(coef)))
     return rows
 
 
@@ -228,11 +242,12 @@ def fbcca_rows(df, events_n):
 def main():
     fixtures = {
         "iir_filters_suite": {
-            "cols": ["variant", "user_id", "events_n", "n", "mean_y", "last_y", "wmean_y"],
+            "cols": ["variant", "user_id", "events_n", "n", "mean_y", "last_y",
+                     "wmean_y", "vhash"],
             "rows": [],
         },
         "fir_adaptive_suite": {
-            "cols": ["variant", "user_id", "events_n", "k", "v"],
+            "cols": ["variant", "user_id", "events_n", "k", "v", "vhash"],
             "rows": [],
         },
         "spectral_suite": {
@@ -240,7 +255,7 @@ def main():
             "rows": [],
         },
         "cwt_suite": {
-            "cols": ["variant", "user_id", "events_n", "k", "v"],
+            "cols": ["variant", "user_id", "events_n", "k", "v", "vhash"],
             "rows": [],
         },
         "fbcca_frequency_scores": {
