@@ -110,21 +110,33 @@ def main():
     blobs = gorilla_compress(
         sig.withColumn("bucket", F.floor(F.col("ts") / 3600).cast("bigint")),
         key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-        verify="full",
-    )
+        verify="full", emit_blobs=True,
+    ).cache()
     agg = blobs.agg(
         F.sum("ts_bytes").alias("tb"), F.sum("val_bytes").alias("vb"),
         F.sum("n_points").alias("np"), F.min("roundtrip_ok").alias("ok"),
         F.sum("verified_points").alias("vp"),
     ).collect()[0]
+    enc_sec = time.monotonic() - t0
+    # storage-tier READ: full decode of every blob via the lockstep batch
+    # decoder — the throughput line BASELINE.md quotes for the read path
+    t0 = time.monotonic()
+    from ezmsg_sigproc_spark.operators.compression import gorilla_decode
+
+    gorilla_decode(blobs, key_cols=["url", "bucket"], ts_col="ts",
+                   value_col="value").agg(F.count("*"), F.sum("value")).collect()
+    dec_sec = time.monotonic() - t0
+    blobs.unpersist()
     gorilla = {
-        "sec": round(time.monotonic() - t0, 3),
+        "sec": round(enc_sec, 3),
         "points": agg.np,
         "bytes_per_point": round((agg.tb + agg.vb) / agg.np, 3),
         "roundtrip_ok": bool(agg.ok),
         "verified_points": agg.vp,
         "verified_frac": round(agg.vp / agg.np, 4),
-        "points_per_sec": round(agg.np / (time.monotonic() - t0), 1),
+        "points_per_sec": round(agg.np / enc_sec, 1),
+        "decode_sec": round(dec_sec, 3),
+        "decode_points_per_sec": round(agg.np / dec_sec, 1),
     }
     sig.unpersist()
     spark.stop()

@@ -247,16 +247,34 @@ def fir_adaptive_suite(spark, sf_dir):
     ),
 )
 def spectral_suite(spark, sf_dir):
-    """Spectrum (64-pt hamming power, mean over windows), Spectrogram (32-pt,
-    per-window rows) and BandPower (ranged aggregate over the spectrogram) —
-    the reference's spectrum.py/spectrogram.py/bandpower.py chain — unified as
-    (variant, user_id, i, j, v) and pinned by the numpy FFT fixture. The
-    16-point DFT additionally has the fully SQL-expressed trig-sum oracle in
-    spectrum_dft16."""
-    a = RAW_QUERIES["spectrum_power_64"](spark, sf_dir).select(
+    """Spectrum (64-pt hamming power: mean over windows at j=0 PLUS the
+    positional checksum of the full per-window power series at j=1, so a
+    single corrupted window cannot hide behind the mean), Spectrogram (32-pt,
+    per-window rows — already full-output) and BandPower (ranged aggregate
+    over the spectrogram) — the reference's spectrum.py/spectrogram.py/
+    bandpower.py chain — unified as (variant, user_id, i, j, v) and pinned by
+    the numpy FFT fixture. The 16-point DFT additionally has the fully
+    SQL-expressed trig-sum oracle in spectrum_dft16. The checksum uses
+    decimals=0 (power magnitudes ~1e8; the weighted sum stays < 2^53 so the
+    double-typed v column carries it exactly)."""
+    from .functions.hashing import vhash_agg
+    from .operators.spectrum import spectrum
+
+    ev = EQ._events(spark, sf_dir).filter(F.col("user_id") < 20).select(
+        "user_id", "ts", "value")
+    spec = spectrum(ev, win_len=64, fs=1.0, key_cols=["user_id"], ts_col="ts",
+                    value_col="value", output="power")
+    a = spec.groupBy("user_id", "freq_idx").agg(
+        _r6(F.avg("spec")).alias("v")).select(
         F.lit("spectrum_power_64").alias("variant"), "user_id",
         F.col("freq_idx").cast("bigint").alias("i"), F.lit(0).cast("bigint").alias("j"),
-        F.col("mean_power").alias("v"))
+        "v")
+    ah = spec.groupBy("user_id", "freq_idx").agg(
+        vhash_agg("spec", "win_id", decimals=0).cast("double").alias("v")).select(
+        F.lit("spectrum_power_64").alias("variant"), "user_id",
+        F.col("freq_idx").cast("bigint").alias("i"), F.lit(1).cast("bigint").alias("j"),
+        "v")
+    a = a.unionByName(ah)
     b = RAW_QUERIES["spectrogram"](spark, sf_dir).select(
         F.lit("spectrogram32").alias("variant"), "user_id",
         F.col("time_idx").cast("bigint").alias("i"), F.col("freq_idx").cast("bigint").alias("j"),

@@ -41,7 +41,7 @@ def main():
 
     from pyspark.sql import functions as F
 
-    from ezmsg_sigproc_spark.operators.compression import gorilla_compress
+    from ezmsg_sigproc_spark.operators.compression import gorilla_compress, gorilla_decode
     from ezmsg_sigproc_spark.operators.ewma import ewma
     from ezmsg_sigproc_spark.plans.rollup_tiers import (
         pages_signal,
@@ -59,7 +59,8 @@ def main():
     sig = pages_signal(pages).repartition(max(args.cores * 4, 8), "url").cache()
     n_rows = sig.count()
 
-    best = {"rollup": float("inf"), "ewma_1m": float("inf"), "gorilla_1m": float("inf")}
+    best = {"rollup": float("inf"), "ewma_1m": float("inf"),
+            "gorilla_1m": float("inf"), "gorilla_decode_1m": float("inf")}
     n_out = pts_rows = 0
     for _ in range(args.repeats):
         t0 = time.monotonic()
@@ -83,15 +84,22 @@ def main():
         blobs = gorilla_compress(
             points.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
             key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-            verify="full",
-        )
+            verify="full", emit_blobs=True,
+        ).cache()
         blobs.agg(F.sum("ts_bytes"), F.sum("val_bytes"), F.sum("n_points"),
                   F.min("roundtrip_ok")).collect()
         t3 = time.monotonic()
+        # storage-tier READ path: lockstep batch decode of every blob back to
+        # points (the round-3 vectorized decoder)
+        gorilla_decode(blobs, key_cols=["url", "bucket"], ts_col="ts",
+                       value_col="value").agg(F.count("*"), F.sum("value")).collect()
+        t4 = time.monotonic()
+        blobs.unpersist()
         points.unpersist()
         best["rollup"] = min(best["rollup"], t1 - t0)
         best["ewma_1m"] = min(best["ewma_1m"], t2 - tk)
         best["gorilla_1m"] = min(best["gorilla_1m"], t3 - t2)
+        best["gorilla_decode_1m"] = min(best["gorilla_decode_1m"], t4 - t3)
 
     elapsed = sum(best.values())
     print(json.dumps({
