@@ -27,9 +27,16 @@ SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
 PAGES_ROWS_URLS = int(os.environ.get("BENCH_PAGES_URLS", "4000"))
 PAGES_SAMPLES = int(os.environ.get("BENCH_PAGES_SAMPLES", "1000"))
 
+# Bench keys resolve through RAW_QUERIES first via BENCH_FNS below.
+# "rollup_1h_from_1m" here times the in-memory 1m→1h operator composition
+# (comparable name-for-name with rounds 1-2); "ca_store_read_2h" times the
+# registered store-backed variant of the same computation (RollupStore write
+# of both tiers + read_resolution at a 2h grid) — new in round 3, reported
+# separately so the I/O-bound store path doesn't masquerade as the operator.
 HEADLINE = [
     "rollup_1m_envelope",
     "rollup_1h_from_1m",
+    "ca_store_read_2h",
     "binlaw_fractional",
     "downsample_q3",
     "window_rolling_stats",
@@ -68,8 +75,13 @@ def main():
     # -- 1. headline operator queries --------------------------------------
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     queries: dict[str, float] = {}
+    bench_fns = {
+        "rollup_1h_from_1m": entry_queries.RAW_QUERIES["rollup_1h_chain"],
+        "ca_store_read_2h": entry_queries.QUERIES["rollup_1h_from_1m"],
+    }
     for name in HEADLINE:
-        fn = entry_queries.QUERIES.get(name) or entry_queries.RAW_QUERIES[name]
+        fn = bench_fns.get(name) or entry_queries.QUERIES.get(name) \
+            or entry_queries.RAW_QUERIES[name]
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         n = df.count()

@@ -179,7 +179,11 @@ def rollup_1h_from_1m(spark, sf_dir):
     r1m = rollup_base(ev, 60)
     store = RollupStore(spark, tempfile.mkdtemp(prefix="ca_store_"))
     store.write_tier("1m", r1m, resume=False)
-    store.write_tier("1h", rollup_next(r1m, 60), resume=False)
+    # the 1h tier is derived from the STORED 1m tier (each tier re-aggregates
+    # the previous tier's persisted partials — never raw rows twice)
+    store.write_tier(
+        "1h", rollup_next(store.read_tier("1m").drop("ts_bucket"), 60),
+        resume=False)
     b = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
     out = read_resolution(store, 7200, t0=b.t0 + 4000.0, t1=b.t1 - 4000.0)
     return out.select(
@@ -187,6 +191,25 @@ def rollup_1h_from_1m(spark, sf_dir):
         _r6(F.col("sum")).alias("sum"), "min", "max",
         _r6(F.col("sum") / F.col("n")).alias("mean"),
     )
+
+
+@qraw("rollup_1h_chain")
+def rollup_1h_chain(spark, sf_dir):
+    """In-memory 1m→1h partial re-aggregation (the operator composition the
+    bench times under ``rollup_1h_from_1m`` for round-over-round
+    comparability; the registered ``rollup_1h_from_1m`` additionally routes
+    the same partials through the RollupStore + ``read_resolution``)."""
+    ev = _events(spark, sf_dir)
+    m1 = time_binned_aggregate(ev, 60.0, ["count", "sum", "min", "max"],
+                               key_cols=["user_id"], ts_col="ts", value_col="value")
+    h1 = (
+        m1.withColumn("bin_m", F.floor(F.col("bin_m") / 60).cast("bigint"))
+        .groupBy("user_id", "bin_m")
+        .agg(F.sum("count").alias("n"), F.sum("sum").alias("sum"),
+             F.min("min").alias("min"), F.max("max").alias("max"))
+    )
+    return h1.select("user_id", "bin_m", "n", _r6(F.col("sum")).alias("sum"),
+                     "min", "max", _r6(F.col("sum") / F.col("n")).alias("mean"))
 
 
 @q(

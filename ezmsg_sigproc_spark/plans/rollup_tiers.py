@@ -34,7 +34,10 @@ from __future__ import annotations
 import os
 import shutil
 import time
+import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -128,9 +131,20 @@ class RollupStore:
         return {r.ts_bucket for r in rows}
 
     def _append_lineage(self, tier: str, stats: list[tuple[int, int]]):
-        rows = [(tier, int(b), int(n), float(time.time())) for b, n in stats]
-        df = self.spark.createDataFrame(rows, "tier string, ts_bucket bigint, n_rows bigint, written_at double")
-        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        # lineage rows are driver-side metadata (the Iceberg-manifest analog):
+        # written directly with pyarrow — a Spark job for a few hundred tiny
+        # rows costs seconds of Python-RDD worker round-trips, pyarrow ~10 ms.
+        # Still plain parquet, so completed_buckets reads it back with Spark.
+        now = float(time.time())
+        table = pa.table({
+            "tier": pa.array([tier] * len(stats), pa.string()),
+            "ts_bucket": pa.array([int(b) for b, _ in stats], pa.int64()),
+            "n_rows": pa.array([int(n) for _, n in stats], pa.int64()),
+            "written_at": pa.array([now] * len(stats), pa.float64()),
+        })
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        fname = f"lineage-{int(now * 1e6)}-{os.getpid()}-{uuid.uuid4().hex[:8]}.parquet"
+        pq.write_table(table, os.path.join(self.lineage_dir, fname))
 
     # -- write ------------------------------------------------------------
     def write_tier(self, tier: str, rollup: DataFrame, resume: bool = True) -> dict:
@@ -159,13 +173,35 @@ class RollupStore:
             out = out.filter(~F.col("ts_bucket").isin(list(done)))
         tier_dir = os.path.join(self.root, f"tier={tier}")
         staging = os.path.join(self.root, "_staging", f"tier={tier}")
-        stats = [
-            (r.ts_bucket, r.n)
-            for r in out.groupBy("ts_bucket").agg(F.count("*").alias("n")).collect()
-        ]
+        # Co-locate each ts_bucket in one task before the dynamic-partition
+        # write: without this, every shuffle partition opens a writer in every
+        # bucket directory (tasks × buckets small files — 23k files / 60 s for
+        # a 720-bucket tier at sf0.1; far worse at 10^12 rows). Hashing on
+        # ts_bucket alone bounds it to one file per bucket; a hot bucket that
+        # outgrows a single file should be pre-split with salted_repartition
+        # on (ts_bucket, salt) before calling write_tier.
+        par = max(int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                  self.spark.sparkContext.defaultParallelism)
+        shutil.rmtree(staging, ignore_errors=True)
+        (out.repartition(par, F.col("ts_bucket"))
+            .write.mode("overwrite").partitionBy("ts_bucket").parquet(staging))
+        # lineage stats come from the STAGED parquet footers — metadata-only,
+        # crash-consistent, and no second computation of the tier (the
+        # pre-write groupBy().collect() used to run the whole rollup twice,
+        # and a read-back count job re-opened every file). On Iceberg the
+        # same numbers come from the manifest's per-file row counts.
+        stats_map: dict[int, int] = {}
+        for d in os.listdir(staging):
+            if not d.startswith("ts_bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            bdir = os.path.join(staging, d)
+            stats_map[b] = sum(
+                pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+                for f in os.listdir(bdir) if f.endswith(".parquet")
+            )
+        stats = sorted(stats_map.items())
         if stats:
-            shutil.rmtree(staging, ignore_errors=True)
-            out.write.mode("overwrite").partitionBy("ts_bucket").parquet(staging)
             os.makedirs(tier_dir, exist_ok=True)
             for d in os.listdir(staging):
                 if not d.startswith("ts_bucket="):
@@ -174,8 +210,8 @@ class RollupStore:
                 if os.path.exists(dst):  # stale partial from a crashed run
                     shutil.rmtree(dst)
                 os.rename(os.path.join(staging, d), dst)
-            shutil.rmtree(staging, ignore_errors=True)
             self._append_lineage(tier, stats)
+        shutil.rmtree(staging, ignore_errors=True)
         return {
             "tier": tier,
             "buckets_written": len(stats),
