@@ -1326,8 +1326,11 @@ def tpch_q3_topk(spark, sf_dir):
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).select(
+    # global top-10 via orderBy().limit() → TakeOrderedAndProject (per-
+    # partition partial top-k, driver merge) — a global row_number() window
+    # would move every group to ONE partition (WindowExec warning, and a
+    # single-node sort at 100 TB)
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10).select(
         "o_orderkey", "revenue"
     )
 

@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition iff the input is narrower than the session's
+    parallelism. The shingle/token explodes below multiply rows ~100-300×
+    INSIDE whatever partitions the scan produced, and the groupBy's partial
+    aggregate runs there too — a single-file corpus would push the whole
+    md5+min pipeline through one core (measured 4× on the sf0.1 documents
+    table). At scale the scan already yields ≥ parallelism splits and this
+    is a no-op; the partition-count probe is plan-only, no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact duplicates: one row per duplicated md5(text) with
     the member count and the representative (min id)."""
@@ -67,18 +81,23 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
     """
     if n_hashes > 8:
         raise ValueError("hash family provides 8 independent 32-bit slices")
-    sh = df.filter(F.length(text_col) >= k).select(
+    sh = _widen(df).filter(F.length(text_col) >= k).select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("s")
     )
     hashed = sh.select("id", F.md5("s").alias("h1"), F.md5(F.concat(F.lit("#"), F.col("s"))).alias("h2"))
+    # min over the fixed-width lowercase-hex slice == min over its numeric
+    # value, so conv(…,16,10) runs once per DOC after the aggregate instead
+    # of once per SHINGLE row before it (~300× fewer string→bigint parses;
+    # the map-side partial min carries an 8-char string, same bytes as the
+    # bigint it becomes)
     aggs = [
-        F.min(
-            F.conv(F.substring("h1" if j < 4 else "h2", (j % 4) * 8 + 1, 8), 16, 10)
-            .cast("bigint")
-        ).alias(f"m{j}")
+        F.min(F.substring("h1" if j < 4 else "h2", (j % 4) * 8 + 1, 8)).alias(f"x{j}")
         for j in range(n_hashes)
     ]
-    return hashed.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs).select(
+        "id", *[F.conv(f"x{j}", 16, 10).cast("bigint").alias(f"m{j}")
+                for j in range(n_hashes)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -117,6 +136,10 @@ def minhash_lsh_candidates_with_stats(
     rows_per_band = n_hashes // bands
     if rows_per_band > 2:
         raise ValueError("band packing supports at most 2 32-bit rows per band")
+    # the DAG below branches 4 ways (bucket sizing, the bound filter join,
+    # and both sides of the self-join) but Spark's ReusedExchange serves all
+    # of them from the signature aggregate's single shuffle output — measured:
+    # an explicit persist() here changes nothing cold, so we don't hold cache
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
 
     def band_sig(b: int):
@@ -181,7 +204,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity of k-shingle sets for given (id_a, id_b) pairs:
     explode shingles once, join by shingle, |∩| / (|A|+|B|-|∩|)."""
     sh = (
-        df.filter(F.length(text_col) >= k)
+        _widen(df).filter(F.length(text_col) >= k)
         .select(F.col(id_col).alias("id"), F.explode(shingles_col(text_col, k)).alias("sh"))
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -206,7 +229,7 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Σ_tokens (±1) where the token's vote is the parity of the i-th hex nibble
     of md5(token). Identical arithmetic is expressible in DuckDB SQL.
     """
-    toks = df.select(
+    toks = _widen(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
