@@ -183,12 +183,17 @@ def main():
     # no hardware normalization applied. The hw_* calibration rows stay as
     # context only (per-core clock/bandwidth drop under k-way load on one box).
     scaling = {}
+    # worker JVMs get a larger heap than the bench session: the probe caches
+    # the 97M-row signal, and a 16g heap shows GC-pause variance (~1 s) in
+    # the n8 rollup phase that a 28g heap removes (measured; same at both
+    # levels, so it shifts no ratio — it just cuts noise)
+    worker_env = {**os.environ, "SPARK_DRIVER_MEM": "28g"}
     runs: dict[int, list[dict]] = {SCALING_N: [], SCALING_N * 4: []}
     for cores in (SCALING_N, SCALING_N * 4, SCALING_N, SCALING_N * 4):
         res = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
              "--cores", str(cores), "--pages", scaling_pages, "--repeats", "2"],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=1200, env=worker_env,
         )
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
         runs[cores].append(json.loads(line))
@@ -225,6 +230,44 @@ def main():
             "dominates and the efficiency numbers are not meaningful; use the "
             "default BENCH_PAGES_* sizes"
         )
+
+    # -- 3b. dedicated codec-scaling probe ---------------------------------
+    # The efficiency probe above feeds the codec the REAL 1m tier (job
+    # proportions), where the now-fast encoder sits near the per-job
+    # scheduling floor. This section measures codec scaling on 6× the points
+    # (10 s bins, --codec-only) and pairs it with the Spark-free hardware
+    # envelope (tools/hw_codec_probe.py): on ONE box, per-core encode
+    # throughput genuinely drops ~25-40% from 2 to 8 busy cores
+    # (turbo/memory bandwidth — the numpy kernel alone shows it, no Spark
+    # involved), so the Spark-layer speedup should be judged against that
+    # envelope, not against an ideal 4.0. Context only — efficiency_raw
+    # above remains the committed pass/fail number.
+    codec = {}
+    for cores in (SCALING_N, SCALING_N * 4):
+        res = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
+             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "2",
+             "--codec-bin", "10", "--codec-only"],
+            capture_output=True, text=True, timeout=1200, env=worker_env,
+        )
+        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+        codec[f"n{cores}"] = json.loads(line)
+        res = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "hw_codec_probe.py"), str(cores)],
+            capture_output=True, text=True, timeout=600,
+        )
+        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+        codec[f"hw_n{cores}"] = json.loads(line)
+    lo, hi = codec[f"n{SCALING_N}"], codec[f"n{SCALING_N * 4}"]
+    hwlo, hwhi = codec[f"hw_n{SCALING_N}"], codec[f"hw_n{SCALING_N * 4}"]
+    codec["enc_speedup"] = round(lo["phases"]["gorilla"] / hi["phases"]["gorilla"], 2)
+    codec["dec_speedup"] = round(
+        lo["phases"]["gorilla_decode"] / hi["phases"]["gorilla_decode"], 2)
+    codec["hw_enc_attainable_speedup"] = round(
+        4.0 * hwhi["enc_mpts_per_core"] / hwlo["enc_mpts_per_core"], 2)
+    codec["hw_dec_attainable_speedup"] = round(
+        4.0 * hwhi["dec_mpts_per_core"] / hwlo["dec_mpts_per_core"], 2)
+    scaling["codec"] = codec
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

@@ -95,6 +95,22 @@ def test_store_resume_and_retention(spark, tmp_path):
     assert remaining == len(buckets) - 1
 
 
+def test_lineage_stats_match_true_bucket_counts(spark, pages, tmp_path):
+    """write_tier derives lineage n_rows from the staged parquet FOOTERS
+    (no re-computation); they must equal the true per-bucket counts."""
+    store = RollupStore(spark, str(tmp_path / "lake"))
+    r1m = rollup_base(pages_signal(pages), 60)
+    store.write_tier("1m", r1m, resume=False)
+    lin = (
+        spark.read.parquet(os.path.join(store.root, "_lineage"))
+        .filter(F.col("tier") == "1m")
+        .groupBy("ts_bucket").agg(F.sum("n_rows").alias("n"))
+    )
+    actual = store.read_tier("1m").groupBy("ts_bucket").count()
+    joined = lin.join(actual, "ts_bucket", "full_outer").collect()
+    assert joined and all(r.n == r["count"] for r in joined)
+
+
 def test_streaming_rollup_matches_batch(spark, pages, tmp_path):
     """Structured Streaming 1m partials == batch 1m partials once all data is
     processed (availableNow over a file source)."""

@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--pages", required=True, help="parquet path of the pages input")
     ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--codec-bin", type=int, default=60,
+                    help="rollup bin (s) feeding the Gorilla phases; 60 = the "
+                         "real 1m tier (job proportions for efficiency_raw), "
+                         "10 = 6x the points (dedicated codec-scaling probe "
+                         "clear of the per-job scheduling floor)")
+    ap.add_argument("--codec-only", action="store_true",
+                    help="time only the Gorilla encode/decode phases (rollup/"
+                         "EWMA run untimed as prep)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -59,30 +67,48 @@ def main():
     sig = pages_signal(pages).repartition(max(args.cores * 4, 8), "url").cache()
     n_rows = sig.count()
 
+    cbin = args.codec_bin
     best = {"rollup": float("inf"), "ewma_1m": float("inf"),
-            "gorilla_1m": float("inf"), "gorilla_decode_1m": float("inf")}
-    n_out = pts_rows = 0
+            "gorilla": float("inf"), "gorilla_decode": float("inf")}
+    if args.codec_only:
+        del best["rollup"], best["ewma_1m"]
+    n_out = pts_rows = enc_rows = 0
     for _ in range(args.repeats):
-        t0 = time.monotonic()
-        r1m = rollup_base(sig, 60)
-        r1h = rollup_next(r1m, 60)
-        r1d = rollup_next(r1h, 24)
-        n_out = r1m.unionByName(r1h).unionByName(r1d).count()
-        t1 = time.monotonic()
-        # Arrow kernels over the 1m TIER points (the north-star stream);
-        # the one-time point-cache fill sits between t1 and tk, untimed
-        points = r1m.select(
-            "url",
-            (F.col("bin_m") * 60).cast("double").alias("ts"),
-            (F.col("sum") / F.col("n")).alias("value"),
-        ).cache()
-        pts_rows = points.count()
-        tk = time.monotonic()
-        ewma(points, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
-            .agg(F.sum("ewma")).collect()
-        t2 = time.monotonic()
+        points = None
+        if not args.codec_only:
+            t0 = time.monotonic()
+            r1m = rollup_base(sig, 60)
+            r1h = rollup_next(r1m, 60)
+            r1d = rollup_next(r1h, 24)
+            n_out = r1m.unionByName(r1h).unionByName(r1d).count()
+            t1 = time.monotonic()
+            # Arrow kernels over the 1m TIER points (the north-star stream);
+            # the one-time point-cache fill sits between t1 and tk, untimed
+            points = r1m.select(
+                "url",
+                (F.col("bin_m") * 60).cast("double").alias("ts"),
+                (F.col("sum") / F.col("n")).alias("value"),
+            ).cache()
+            pts_rows = points.count()
+            tk = time.monotonic()
+            ewma(points, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
+                .agg(F.sum("ewma")).collect()
+            t2 = time.monotonic()
+        # codec input: the 1m tier itself by default (real job proportions);
+        # --codec-bin 10 feeds 6x the points for the dedicated codec-scaling
+        # probe (clear of the per-job scheduling floor). Cache fill untimed.
+        if cbin == 60 and points is not None:
+            cpoints = points
+        else:
+            cpoints = rollup_base(sig, cbin).select(
+                "url",
+                (F.col("bin_m") * cbin).cast("double").alias("ts"),
+                (F.col("sum") / F.col("n")).alias("value"),
+            ).cache()
+        enc_rows = cpoints.count()
+        t2b = time.monotonic()
         blobs = gorilla_compress(
-            points.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
+            cpoints.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
             key_cols=["url", "bucket"], ts_col="ts", value_col="value",
             verify="full", emit_blobs=True,
         ).cache()
@@ -95,11 +121,15 @@ def main():
                        value_col="value").agg(F.count("*"), F.sum("value")).collect()
         t4 = time.monotonic()
         blobs.unpersist()
-        points.unpersist()
-        best["rollup"] = min(best["rollup"], t1 - t0)
-        best["ewma_1m"] = min(best["ewma_1m"], t2 - tk)
-        best["gorilla_1m"] = min(best["gorilla_1m"], t3 - t2)
-        best["gorilla_decode_1m"] = min(best["gorilla_decode_1m"], t4 - t3)
+        if points is not None:
+            points.unpersist()
+        if cpoints is not points:
+            cpoints.unpersist()
+        if not args.codec_only:
+            best["rollup"] = min(best["rollup"], t1 - t0)
+            best["ewma_1m"] = min(best["ewma_1m"], t2 - tk)
+        best["gorilla"] = min(best["gorilla"], t3 - t2b)
+        best["gorilla_decode"] = min(best["gorilla_decode"], t4 - t3)
 
     elapsed = sum(best.values())
     print(json.dumps({
@@ -108,6 +138,8 @@ def main():
         "phases": {k: round(v, 3) for k, v in best.items()},
         "rows": n_rows,
         "tier_points": pts_rows,
+        "codec_points": enc_rows,
+        "codec_bin": cbin,
         "rows_per_sec": round(n_rows / elapsed, 1),
         "tiers_out_rows": n_out,
     }))
