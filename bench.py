@@ -199,7 +199,9 @@ def main():
         runs[cores].append(json.loads(line))
     for cores, rr in runs.items():
         phases = {k: min(r["phases"][k] for r in rr) for k in rr[0]["phases"]}
-        elapsed = round(sum(phases.values()), 3)
+        # headline per level = best single-action combined job across the
+        # interleaved invocations; the per-phase minima stay as diagnostics
+        elapsed = round(min(r["elapsed"] for r in rr), 3)
         scaling[f"n{cores}"] = {
             "cores": cores,
             "elapsed": elapsed,
@@ -208,6 +210,7 @@ def main():
             "rows_per_sec": round(rr[0]["rows"] / elapsed, 1),
             "tiers_out_rows": rr[0]["tiers_out_rows"],
             "runs_elapsed": [r["elapsed"] for r in rr],
+            "runs_combined": [x for r in rr for x in r.get("combined_runs", [])],
             "runs_phases": [r["phases"] for r in rr],
         }
     for cores in (SCALING_N, SCALING_N * 4):

@@ -67,13 +67,28 @@ def main():
     sig = pages_signal(pages).repartition(max(args.cores * 4, 8), "url").cache()
     n_rows = sig.count()
 
+    # warm the Python worker pool + pandas import + Arrow codegen so the
+    # single-pass phase diagnostics time the kernels, not first-use costs
+    warm = sig.limit(4096)
+    ewma(warm, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
+        .agg(F.sum("ewma")).collect()
+    gorilla_compress(
+        warm.withColumn("bucket", F.lit(0).cast("bigint")),
+        key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+        verify="full", emit_blobs=False,
+    ).agg(F.count("*")).collect()
+
     cbin = args.codec_bin
     best = {"rollup": float("inf"), "ewma_1m": float("inf"),
             "gorilla": float("inf"), "gorilla_decode": float("inf")}
     if args.codec_only:
         del best["rollup"], best["ewma_1m"]
     n_out = pts_rows = enc_rows = 0
-    for _ in range(args.repeats):
+    # phase-split diagnostics need only one pass per process (bench
+    # interleaves two processes per level, so per-phase minima are still
+    # min-of-2); codec-only mode keeps full repeats since the phase loop IS
+    # its timing
+    for _ in range(args.repeats if args.codec_only else 1):
         points = None
         if not args.codec_only:
             t0 = time.monotonic()
@@ -132,10 +147,53 @@ def main():
         best["gorilla_decode"] = min(best["gorilla_decode"], t4 - t3)
 
     elapsed = sum(best.values())
+    combined_runs = []
+    if not args.codec_only:
+        # Headline timing: the SAME north-star job as ONE Spark action (all
+        # scalar results unioned, one collect). The phase-split loop above
+        # pays a ~0.4 s scheduling floor per action — 4 actions ≈ 1.6 s of
+        # pure floor at 4N where the whole job is ~9 s, which masks real
+        # scaling. One action lets independent stages overlap and amortizes
+        # the floor exactly as a long-running cluster job would; the
+        # computation is identical (tiers + EWMA + encode + decode; the
+        # decode branch consumes the encoder's output directly, and the
+        # rollup exchange is shared via ReusedExchange).
+        for _ in range(args.repeats):
+            r1m = rollup_base(sig, 60)
+            r1h = rollup_next(r1m, 60)
+            r1d = rollup_next(r1h, 24)
+            tiers_part = (
+                r1m.unionByName(r1h).unionByName(r1d)
+                .agg(F.count("*").cast("double").alias("v"))
+                .select(F.lit("tiers_rows").alias("k"), "v"))
+            pts = r1m.select(
+                "url",
+                (F.col("bin_m") * 60).cast("double").alias("ts"),
+                (F.col("sum") / F.col("n")).alias("value"),
+            )
+            ewma_part = (
+                ewma(pts, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value")
+                .agg(F.sum("ewma").alias("v")).select(F.lit("ewma_sum").alias("k"), "v"))
+            blobs2 = gorilla_compress(
+                pts.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
+                key_cols=["url", "bucket"], ts_col="ts", value_col="value",
+                verify="full", emit_blobs=True,
+            )
+            dec_part = (
+                gorilla_decode(blobs2, key_cols=["url", "bucket"], ts_col="ts",
+                               value_col="value")
+                .agg(F.sum("value").alias("v")).select(F.lit("decode_sum").alias("k"), "v"))
+            t0 = time.monotonic()
+            tiers_part.unionByName(ewma_part).unionByName(dec_part).collect()
+            combined_runs.append(time.monotonic() - t0)
+        elapsed = min(combined_runs)
     print(json.dumps({
         "cores": args.cores,
         "elapsed": round(elapsed, 3),
         "phases": {k: round(v, 3) for k, v in best.items()},
+        "phases_note": "per-phase minima from separate-action runs (diagnostic); "
+                       "elapsed/rows_per_sec are the single-action combined job",
+        "combined_runs": [round(x, 3) for x in combined_runs],
         "rows": n_rows,
         "tier_points": pts_rows,
         "codec_points": enc_rows,
