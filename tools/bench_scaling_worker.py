@@ -84,11 +84,17 @@ def main():
     if args.codec_only:
         del best["rollup"], best["ewma_1m"]
     n_out = pts_rows = enc_rows = 0
-    # phase-split diagnostics need only one pass per process (bench
-    # interleaves two processes per level, so per-phase minima are still
-    # min-of-2); codec-only mode keeps full repeats since the phase loop IS
-    # its timing
-    for _ in range(args.repeats if args.codec_only else 1):
+    ckpoints = None
+    if args.codec_only:
+        # codec-only: build + cache the codec input once for all repeats
+        # (the rollup feeding it is prep, not the thing being measured)
+        ckpoints = rollup_base(sig, cbin).select(
+            "url",
+            (F.col("bin_m") * cbin).cast("double").alias("ts"),
+            (F.col("sum") / F.col("n")).alias("value"),
+        ).cache()
+        ckpoints.count()
+    for _ in range(args.repeats):
         points = None
         if not args.codec_only:
             t0 = time.monotonic()
@@ -112,7 +118,9 @@ def main():
         # codec input: the 1m tier itself by default (real job proportions);
         # --codec-bin 10 feeds 6x the points for the dedicated codec-scaling
         # probe (clear of the per-job scheduling floor). Cache fill untimed.
-        if cbin == 60 and points is not None:
+        if args.codec_only:
+            cpoints = ckpoints
+        elif cbin == 60 and points is not None:
             cpoints = points
         else:
             cpoints = rollup_base(sig, cbin).select(
@@ -138,7 +146,7 @@ def main():
         blobs.unpersist()
         if points is not None:
             points.unpersist()
-        if cpoints is not points:
+        if cpoints is not points and cpoints is not ckpoints:
             cpoints.unpersist()
         if not args.codec_only:
             best["rollup"] = min(best["rollup"], t1 - t0)
@@ -149,23 +157,26 @@ def main():
     elapsed = sum(best.values())
     combined_runs = []
     if not args.codec_only:
-        # Headline timing: the SAME north-star job as ONE Spark action (all
-        # scalar results unioned, one collect). The phase-split loop above
-        # pays a ~0.4 s scheduling floor per action — 4 actions ≈ 1.6 s of
-        # pure floor at 4N where the whole job is ~9 s, which masks real
-        # scaling. One action lets independent stages overlap and amortizes
-        # the floor exactly as a long-running cluster job would; the
-        # computation is identical (tiers + EWMA + encode + decode; the
-        # decode branch consumes the encoder's output directly, and the
-        # rollup exchange is shared via ReusedExchange).
-        for _ in range(args.repeats):
-            r1m = rollup_base(sig, 60)
+        # Headline timing: the SAME north-star job as TWO Spark actions with
+        # zero duplicated compute. Action 1 materializes the 1m rollup into
+        # cache (raw -> 1m partial aggregation, the dominant phase). Action 2
+        # unions every downstream consumer — 1h/1d tier re-aggregation, EWMA,
+        # and Gorilla encode->decode (the decoder consumes the encoder's
+        # output directly) — into ONE collect, so independent stages overlap
+        # and the per-action scheduling floor is paid twice, not five times.
+        # The phase-split loop above (~0.4 s floor per action, 4 actions)
+        # stays as per-phase diagnostics. No work is computed twice: every
+        # consumer in action 2 reads the action-1 cache.
+        for _ in range(1):  # one combined pass per process (diagnostic)
+            r1m = rollup_base(sig, 60).cache()
+            t0 = time.monotonic()
+            r1m.count()  # action 1: raw -> 1m rollup, materialized to cache
             r1h = rollup_next(r1m, 60)
             r1d = rollup_next(r1h, 24)
             tiers_part = (
-                r1m.unionByName(r1h).unionByName(r1d)
+                r1h.unionByName(r1d)
                 .agg(F.count("*").cast("double").alias("v"))
-                .select(F.lit("tiers_rows").alias("k"), "v"))
+                .select(F.lit("coarse_tiers_rows").alias("k"), "v"))
             pts = r1m.select(
                 "url",
                 (F.col("bin_m") * 60).cast("double").alias("ts"),
@@ -183,16 +194,19 @@ def main():
                 gorilla_decode(blobs2, key_cols=["url", "bucket"], ts_col="ts",
                                value_col="value")
                 .agg(F.sum("value").alias("v")).select(F.lit("decode_sum").alias("k"), "v"))
-            t0 = time.monotonic()
+            # action 2: every downstream consumer of the cached 1m tier
             tiers_part.unionByName(ewma_part).unionByName(dec_part).collect()
             combined_runs.append(time.monotonic() - t0)
-        elapsed = min(combined_runs)
+            r1m.unpersist()
     print(json.dumps({
         "cores": args.cores,
         "elapsed": round(elapsed, 3),
         "phases": {k: round(v, 3) for k, v in best.items()},
-        "phases_note": "per-phase minima from separate-action runs (diagnostic); "
-                       "elapsed/rows_per_sec are the single-action combined job",
+        "combined_note": "combined_runs = the same job as TWO actions (1m "
+                         "rollup to cache, then all downstream consumers in "
+                         "one union, zero duplicated compute) — pipelining "
+                         "diagnostic; elapsed/rows_per_sec stay the "
+                         "phase-split sum, same construction as round 2",
         "combined_runs": [round(x, 3) for x in combined_runs],
         "rows": n_rows,
         "tier_points": pts_rows,
