@@ -230,6 +230,14 @@ def main():
     raw_speedup = thr_hi / thr_lo
     scaling["efficiency_raw"] = round(raw_speedup / 4.0, 3)
     scaling["hw_attainable_efficiency"] = round(hw_hi / hw_lo, 3)
+    # transparency: the two-action combined job's own ratio. It is floor-lean
+    # and therefore fully exposed to the single-box per-core falloff under
+    # k-way load (see hw_codec_probe / hw_calibration); reported so nobody
+    # has to derive it from runs_combined by hand. Not the committed number.
+    comb_lo = min(scaling[f"n{SCALING_N}"].get("runs_combined") or [0])
+    comb_hi = min(scaling[f"n{SCALING_N * 4}"].get("runs_combined") or [0])
+    if comb_lo and comb_hi:
+        scaling["combined_efficiency_diagnostic"] = round(comb_lo / comb_hi / 4.0, 3)
     if scaling[f"n{SCALING_N}"]["elapsed"] < 20.0:
         scaling["scaling_note"] = (
             "probe job too short at this input size — fixed per-job overhead "
