@@ -1202,20 +1202,71 @@ def doc_fingerprint(spark, sf_dir):
     SELECT format, count(*) AS n, CAST(sum(width) AS BIGINT) AS sum_w,
            CAST(sum(height) AS BIGINT) AS sum_h, CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
     FROM meta GROUP BY 1
+    UNION ALL
+    SELECT 'png_real', count(*),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 16) AS BIGINT),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 16) AS BIGINT),
+           CAST(sum(((instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1) * 65536
+              + ((instr('0123456789abcdef', substr(md5(text), 7, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 8, 1)) - 1) * 256
+              + ((instr('0123456789abcdef', substr(md5(text), 9, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 10, 1)) - 1)) AS BIGINT)
+    FROM documents
     """,
 )
 def multimodal_decode(spark, sf_dir):
-    """Multimodal plumbing: binary payload → typed metadata via mapInPandas
-    (decode itself is the documented deterministic stub)."""
+    """Multimodal decode, two layers in one row set. (1) The md5-fake
+    metadata stub rows (format-level aggregates, SQL-twin). (2) 'png_real':
+    each doc becomes a solid-color PNG (dims and RGB md5-derived,
+    synth_solid_png — a real deflate+filtered PNG stream), pushed through
+    the REAL spec decoder (decode_png_pixels, multimodal.py); sum_w/sum_h
+    are decoded dimensions and sum_bytes packs the decoded per-channel
+    means (r·65536+g·256+b — exact for solid colors). The oracle recomputes
+    every number in closed form from md5(text): equality proves the full
+    build→deflate→unfilter→decode→aggregate chain, not just plumbing."""
+    import hashlib as _hl
+
+    import pandas as _pd
+
+    from .operators.multimodal import decode_png_pixels, synth_solid_png
+
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     meta = decode_media_meta(docs, binary_col="payload", keep_cols=("doc_id",))
-    return meta.groupBy("format").agg(
+    fake = meta.groupBy("format").agg(
         F.count("*").alias("n"), F.sum("width").cast("bigint").alias("sum_w"),
         F.sum("height").cast("bigint").alias("sum_h"),
         F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
     )
+
+    def real_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                hx = _hl.md5(bytes(b)).hexdigest()
+                w = 1 + int(hx[0:2], 16) % 16
+                h = 1 + int(hx[2:4], 16) % 16
+                rgb = (int(hx[4:6], 16), int(hx[6:8], 16), int(hx[8:10], 16))
+                img = decode_png_pixels(synth_solid_png(w, h, rgb))
+                m = img.reshape(-1, 3).mean(axis=0)
+                rows.append((img.shape[1], img.shape[0],
+                             int(round(m[0])) * 65536 + int(round(m[1])) * 256
+                             + int(round(m[2]))))
+            yield _pd.DataFrame(rows, columns=["w", "h", "packed_rgb"])
+
+    real = docs.mapInPandas(
+        real_kernel, schema="w int, h int, packed_rgb bigint"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum("h").cast("bigint").alias("sum_h"),
+        F.sum("packed_rgb").cast("bigint").alias("sum_bytes"),
+    ).select(F.lit("png_real").alias("format"), "n", "sum_w", "sum_h", "sum_bytes")
+    return fake.unionByName(real)
 
 
 @q(

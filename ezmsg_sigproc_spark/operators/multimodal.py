@@ -17,8 +17,15 @@ Two decode levels:
   registry query so its DuckDB oracle stays SQL-expressible on synthetic
   (non-media) payloads; clearly marked.
 
-Full pixel decode / resize / frame-sample still needs codec libraries absent
-from this container and stays behind ``resize_stub``'s NotImplementedError.
+Round 3 adds a third, fully REAL level for codec-free formats: PNG (zlib is
+stdlib; RFC 2083 filters are byte arithmetic), BMP (BI_RGB raw) and WAV
+(PCM raw) decode to pixels/samples with no external library —
+:func:`decode_png_pixels` / :func:`decode_bmp_pixels` /
+:func:`decode_wav_samples`, plus :func:`resize_area` (integral-image box
+resampling) and :func:`frame_sample`, surfaced as the
+:func:`decode_image_features` / :func:`decode_audio_features` operators.
+Only entropy-coded formats (JPEG, GIF-LZW, video codecs) remain header-only
+behind ``resize_stub``'s NotImplementedError.
 """
 
 from __future__ import annotations
@@ -171,9 +178,303 @@ def decode_media_meta(
 
 
 def resize_stub(df: DataFrame, binary_col: str = "payload", **kw) -> DataFrame:
-    """Resize/transcode stub — plumbing is identical to decode; the pixel
-    operation itself needs codec libs absent from this container."""
+    """Resize for entropy-coded formats (JPEG/GIF/video) — still needs codec
+    libraries absent from this container. PNG, BMP and WAV are fully decoded
+    WITHOUT codec libs: use :func:`decode_image_features` /
+    :func:`decode_audio_features` (real pixel/sample decode + area resize +
+    frame sampling below)."""
     raise NotImplementedError(
-        "image resize requires a codec library not present in this container; "
-        "decode_media_meta demonstrates the mapInPandas plumbing"
+        "JPEG/GIF/video decode requires codec libraries not present in this "
+        "container; PNG/BMP/WAV have real decoders — see decode_image_features"
     )
+
+
+# =====================================================================
+# REAL pixel / sample decode for codec-free formats (round 3)
+# =====================================================================
+#
+# PNG's only compression is DEFLATE — the stdlib's zlib — and its filters
+# (RFC 2083 §6) are plain byte arithmetic, so a full spec-correct PNG
+# decoder needs NO external codec library. BMP (BI_RGB) and WAV (PCM) are
+# raw. These three make the decode → resize → feature-extract stage REAL;
+# only formats with proprietary entropy coders (JPEG's Huffman/DCT, GIF's
+# LZW, video codecs) remain header-only.
+
+import zlib
+
+import numpy as np
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes) -> "np.ndarray":
+    """Decode a non-interlaced 8-bit PNG to uint8 (H, W, C) — from RFC 2083:
+    IHDR → concatenated IDAT → zlib inflate → per-scanline unfilter
+    (None/Sub/Up/Average/Paeth). Palette (type 3) resolves through PLTE.
+    Sub/Up/Average vectorize per row (Sub via add-prefix in strided chunks);
+    Paeth keeps the spec's sequential recurrence."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, n = 8, len(payload)
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + body + crc
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("decoder supports 8-bit non-interlaced PNGs")
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * ch
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f, row = int(filters[y]), data[y]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]
+            rec = row.copy()
+            for c in range(ch):
+                np.cumsum(rec[c::ch], out=rec[c::ch])
+            rec &= 255
+        elif f == 2:  # Up
+            rec = (row + prev) & 255
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    img = out.astype(np.uint8).reshape(height, width, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
+    """Decode an uncompressed (BI_RGB) 24/32-bit BMP to uint8 (H, W, 3):
+    pixel-array offset from the file header, 4-byte-aligned bottom-up rows,
+    BGR(A) order per the spec."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError("decoder supports uncompressed 24/32-bit BMPs")
+    flip = h > 0
+    h = abs(h)
+    bypp = bpp // 8
+    row_bytes = (w * bypp + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * bypp].reshape(h, w, bypp)
+    rgb = rows[:, :, 2::-1]  # BGR -> RGB (alpha dropped)
+    return rgb[::-1] if flip else rgb
+
+
+def decode_wav_samples(payload: bytes) -> tuple["np.ndarray", int]:
+    """Decode a PCM WAV to (float64 (n, channels) in [-1, 1], sample_rate).
+    Supports 8-bit unsigned and 16-bit signed PCM."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, n = 12, len(payload)
+    channels = rate = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (csz,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+            (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+            if fmt_code != 1:
+                raise ValueError("decoder supports PCM WAVs only")
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + csz]
+        i += 8 + csz + (csz & 1)
+    if data is None or channels is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError("decoder supports 8/16-bit PCM")
+    return x[: (x.size // channels) * channels].reshape(-1, channels), rate
+
+
+def resize_area(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Box/area resampling in pure numpy (exact mean over each source box —
+    the standard thumbnailing filter). Works for any (H, W, C) uint8 image;
+    source boxes come from the pixel-edge partition, so uneven ratios are
+    handled exactly."""
+    h, w = img.shape[:2]
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
+    # integral image for O(1) box sums
+    ii = np.zeros((h + 1, w + 1) + img.shape[2:], dtype=np.int64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.int64), axis=0), axis=1)
+    top, bot = ye[:-1], ye[1:]
+    left, right = xe[:-1], xe[1:]
+    sums = (ii[bot][:, right] - ii[bot][:, left]
+            - ii[top][:, right] + ii[top][:, left])
+    areas = ((bot - top)[:, None] * (right - left)[None, :]).astype(np.float64)
+    if img.ndim == 3:
+        areas = areas[:, :, None]
+    return np.round(sums / areas).astype(np.uint8)
+
+
+def frame_sample(x: "np.ndarray", n_frames: int) -> "np.ndarray":
+    """Uniform frame/sample selection along axis 0 (the video/audio
+    frame-sampling primitive): centers of n equal partitions."""
+    n = x.shape[0]
+    idx = (np.arange(n_frames) * n + n // 2) // n_frames
+    return x[np.minimum(idx, n - 1)]
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "format string, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, thumb binary"
+)
+
+
+def decode_image_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    thumb: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """REAL pixel decode → per-channel means + an area-resampled RGB
+    thumbnail (raw bytes, h*w*3), for PNG and BMP payloads; other/broken
+    payloads yield nulls. mapInPandas batching, per-payload kernel work
+    (inherent for opaque binaries)."""
+    keep_schema_fields = [f for f in df.schema.fields if f.name in keep_cols]
+    keep_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_schema_fields)
+    schema = (keep_schema + ", " if keep_schema else "") + IMAGE_FEATURES_SCHEMA
+    th, tw = thumb
+
+    def one(b: bytes) -> tuple:
+        try:
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                img, fmt = decode_png_pixels(b), "png"
+            elif b[:2] == b"BM":
+                img, fmt = decode_bmp_pixels(b), "bmp"
+            else:
+                return ("unknown", None, None, None, None, None, None, None)
+        except Exception:
+            return ("corrupt", None, None, None, None, None, None, None)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] == 1:
+            rgb = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 2:  # gray+alpha
+            rgb = np.repeat(img[:, :, :1], 3, axis=2)
+        else:
+            rgb = img[:, :, :3]
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        tb = resize_area(rgb, th, tw).tobytes()
+        return (fmt, img.shape[1], img.shape[0], img.shape[2],
+                float(means[0]), float(means[1]), float(means[2]), tb)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf[binary_col]]
+            out = pd.DataFrame(rows, columns=[
+                "format", "width", "height", "channels",
+                "mean_r", "mean_g", "mean_b", "thumb"])
+            for c in reversed(keep_cols):
+                out.insert(0, c, pdf[c].to_numpy())
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "format string, channels int, sample_rate int, n_samples bigint, "
+    "rms double, frames binary"
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    n_frames: int = 16,
+) -> DataFrame:
+    """REAL PCM decode → RMS + uniformly frame-sampled mono summary (float32
+    bytes) for WAV payloads via mapInPandas."""
+    keep_schema_fields = [f for f in df.schema.fields if f.name in keep_cols]
+    keep_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_schema_fields)
+    schema = (keep_schema + ", " if keep_schema else "") + AUDIO_FEATURES_SCHEMA
+
+    def one(b: bytes) -> tuple:
+        try:
+            x, rate = decode_wav_samples(b)
+        except Exception:
+            return ("unknown", None, None, None, None, None)
+        mono = x.mean(axis=1)
+        rms = float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0
+        fr = frame_sample(mono, n_frames).astype(np.float32).tobytes() if mono.size else b""
+        return ("wav", x.shape[1], rate, x.shape[0], rms, fr)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf[binary_col]]
+            out = pd.DataFrame(rows, columns=[
+                "format", "channels", "sample_rate", "n_samples", "rms", "frames"])
+            for c in reversed(keep_cols):
+                out.insert(0, c, pdf[c].to_numpy())
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def synth_solid_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Deterministically build a valid solid-color RGB PNG (filter 0 on the
+    first row, filter 2/Up on the rest, one zlib stream) — the driver query
+    uses this to push md5-derived images through the REAL decoder and check
+    closed-form dimensions/means against the SQL oracle."""
+    row0 = b"\x00" + bytes(rgb) * width
+    rown = b"\x02" + b"\x00" * (width * 3)  # Up filter: identical to prev row
+    raw = row0 + rown * (height - 1)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
