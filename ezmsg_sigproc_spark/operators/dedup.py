@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _widen(df: DataFrame) -> DataFrame:
+def widen_narrow_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition iff the input is narrower than the session's
     parallelism. The shingle/token explodes below multiply rows ~100-300×
     INSIDE whatever partitions the scan produced, and the groupBy's partial
@@ -37,6 +37,9 @@ def _widen(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+_widen = widen_narrow_input
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+from .dedup import widen_narrow_input as _widen
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -43,7 +46,9 @@ def cosine_topk(
     p = probes.select(
         F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # corpus side stays in the scan's partitions through the broadcast join —
+    # a single-file corpus would run every dot product on one core
+    c = _widen(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     joined = c.crossJoin(F.broadcast(p)).filter(F.col("neighbor_id") != F.col(probe_id_col))
     sim = joined.select(
         probe_id_col,
@@ -108,6 +113,7 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    corpus = _widen(corpus)
     train = corpus.select(F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     assigned = model.transform(train).select(F.col(id_col), F.col("prediction").alias("_cell"))
@@ -160,6 +166,7 @@ def cosine_topk_lsh(
     candidate set is deduplicated before scoring. At 100 TB the bucket join
     replaces the cross join; recall is tunable via (n_planes ↓, n_tables ↑),
     cost scales with the union of bucket sizes."""
+    corpus = _widen(corpus)
     tables = [lsh_bucket_col(vec_col, n_planes, plane_seed=t * n_planes) for t in range(n_tables)]
     p_parts, c_parts = [], []
     for t, sig in enumerate(tables):
@@ -218,6 +225,7 @@ def cosine_near_dup_pairs(
     / SimHash / n-gram Jaccard / cosine), same candidates-then-verify shape
     as the MinHash path and the same 100 TB story: shuffle on bucket
     signatures only."""
+    corpus = _widen(corpus)
     parts = []
     for t in range(n_tables):
         sig = lsh_bucket_col(vec_col, n_planes, plane_seed=t * n_planes)
