@@ -136,6 +136,46 @@ def rollup_1m_envelope(spark, sf_dir):
     )
 
 
+_CA_STORES: dict[str, tuple] = {}
+
+
+def _ca_store_build(spark, sf_dir: str, root: str | None = None):
+    """Build the RollupStore behind ``rollup_1h_from_1m``: 1m partials from
+    raw events → store write → 1h tier derived from the STORED 1m tier (each
+    tier re-aggregates the previous tier's persisted partials — never raw
+    rows twice). Returns (store, t0, t1).
+
+    Builds are cached per (session, sf_dir) with atexit cleanup, so repeated
+    correctness/bench invocations neither leak full tier copies in /tmp
+    (ADVICE r3) nor redo the write inside what is nominally a read query.
+    Pass ``root`` to force a fresh uncached build — bench.py uses that to
+    time the write and read phases separately (VERDICT r3 item 3)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .plans.rollup_tiers import RollupStore, rollup_base, rollup_next
+
+    cache_key = f"{id(spark)}:{sf_dir}"
+    if root is None and cache_key in _CA_STORES:
+        return _CA_STORES[cache_key]
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("url"), "ts", "value")
+    target = root or tempfile.mkdtemp(prefix="ca_store_")
+    if root is None:
+        atexit.register(shutil.rmtree, target, ignore_errors=True)
+    store = RollupStore(spark, target)
+    store.write_tier("1m", rollup_base(ev, 60), resume=False)
+    store.write_tier(
+        "1h", rollup_next(store.read_tier("1m").drop("ts_bucket"), 60),
+        resume=False)
+    b = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
+    result = (store, float(b.t0), float(b.t1))
+    if root is None:
+        _CA_STORES[cache_key] = result
+    return result
+
+
 @q(
     "rollup_1h_from_1m",
     """
@@ -165,27 +205,10 @@ def rollup_1h_from_1m(spark, sf_dir):
     correctness fix), and prune on the ts_bucket partition column. The
     oracle computes the same 2h bins directly from raw events — equality is
     the partial-composition AND store-read proof in one row set."""
-    import tempfile
+    from .plans.rollup_tiers import read_resolution
 
-    from .plans.rollup_tiers import (
-        RollupStore,
-        read_resolution,
-        rollup_base,
-        rollup_next,
-    )
-
-    ev = _events(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("url"), "ts", "value")
-    r1m = rollup_base(ev, 60)
-    store = RollupStore(spark, tempfile.mkdtemp(prefix="ca_store_"))
-    store.write_tier("1m", r1m, resume=False)
-    # the 1h tier is derived from the STORED 1m tier (each tier re-aggregates
-    # the previous tier's persisted partials — never raw rows twice)
-    store.write_tier(
-        "1h", rollup_next(store.read_tier("1m").drop("ts_bucket"), 60),
-        resume=False)
-    b = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
-    out = read_resolution(store, 7200, t0=b.t0 + 4000.0, t1=b.t1 - 4000.0)
+    store, t0, t1 = _ca_store_build(spark, sf_dir)
+    out = read_resolution(store, 7200, t0=t0 + 4000.0, t1=t1 - 4000.0)
     return out.select(
         F.col("url").cast("bigint").alias("user_id"), "bin_m", "n",
         _r6(F.col("sum")).alias("sum"), "min", "max",

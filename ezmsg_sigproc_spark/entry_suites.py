@@ -99,11 +99,18 @@ def iir_filters_suite(spark, sf_dir):
     run as single ``sosfilt_mat`` calls over ALL the batch's users at once
     (the matrix-batched path that took butterworth_lowpass 5.2 s → 1.0 s);
     only the non-causal zero-phase variant walks columns (tail padding would
-    contaminate its backward pass)."""
+    contaminate its backward pass). The pivot is bounded by the same
+    ``_PIVOT_CAP_CELLS`` length-sorted bucketing as
+    ``serieslift.apply_matrix_kernel`` — key-length skew cannot blow up the
+    (max_len × n_keys) allocation."""
     from .functions.hashing import matrix_vhash
     from .operators.filters import butter_sos, sosfilt_mat, sosfilt_zi
     from .operators.filters2 import cheby_sos, comb_sos, sosfiltfilt_np
-    from .operators.serieslift import key_change_mask, map_key_batches
+    from .operators.serieslift import (
+        _PIVOT_CAP_CELLS,
+        key_change_mask,
+        map_key_batches,
+    )
 
     sos_butter = butter_sos(4, 0.05, "lowpass", fs=1.0)
     sos_cheby = cheby_sos(4, 1.0, 0.05, "lowpass", fs=1.0, cheby_type="cheby1")
@@ -112,16 +119,8 @@ def iir_filters_suite(spark, sf_dir):
     causal = {"butter_lp4": sos_butter, "cheby1_lp4": sos_cheby,
               "comb_notch": sos_comb, "decimate_q4": sos_dec}
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        change = key_change_mask(pdf[["user_id"]])
-        starts = np.flatnonzero(change)
-        codes = np.cumsum(change) - 1
-        lengths = np.diff(np.append(starts, len(pdf)))
-        pos = np.arange(len(pdf)) - np.repeat(starts, lengths)
-        K = len(starts)
-        X = np.zeros((int(lengths.max()), K))
-        X[pos, codes] = pdf["value"].to_numpy(np.float64)
-        uids = pdf["user_id"].to_numpy()[starts]
+    def run_matrix(X: np.ndarray, lengths: np.ndarray, uids: np.ndarray) -> list:
+        K = X.shape[1]
         kidx = np.arange(K)
 
         def summarize(name: str, Y: np.ndarray, L: np.ndarray) -> pd.DataFrame:
@@ -152,6 +151,40 @@ def iir_filters_suite(spark, sf_dir):
         for k in range(K):
             Yz[: lengths[k], k] = sosfiltfilt_np(sos_butter, X[: lengths[k], k])
         frames.append(summarize("butter_zerophase", Yz, lengths))
+        return frames
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        change = key_change_mask(pdf[["user_id"]])
+        starts = np.flatnonzero(change)
+        codes = np.cumsum(change) - 1
+        lengths = np.diff(np.append(starts, len(pdf)))
+        pos = np.arange(len(pdf)) - np.repeat(starts, lengths)
+        vals = pdf["value"].to_numpy(np.float64)
+        all_uids = pdf["user_id"].to_numpy()[starts]
+        n_keys = len(starts)
+        frames = []
+        # BOUNDED pivot (same cap + length-sorted bucketing as
+        # serieslift.apply_matrix_kernel): a skewed batch — one carried long
+        # key among thousands of short ones — would otherwise allocate an
+        # unbounded (max_len × n_keys) matrix
+        if int(lengths.max()) * n_keys <= _PIVOT_CAP_CELLS:
+            buckets = [np.arange(n_keys)]
+        else:
+            order = np.argsort(-lengths, kind="stable")
+            buckets = []
+            i = 0
+            while i < n_keys:
+                width = max(int(_PIVOT_CAP_CELLS // max(int(lengths[order[i]]), 1)), 1)
+                buckets.append(np.sort(order[i : i + width]))
+                i += width
+        for kids in buckets:
+            lb = lengths[kids]
+            Xb = np.zeros((int(lb.max()), kids.size))
+            local = np.full(n_keys, -1, dtype=np.int64)
+            local[kids] = np.arange(kids.size)
+            rmask = local[codes] >= 0
+            Xb[pos[rmask], local[codes[rmask]]] = vals[rmask]
+            frames += run_matrix(Xb, lb, all_uids[kids])
         return pd.concat(frames, ignore_index=True)
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
@@ -255,8 +288,9 @@ def spectral_suite(spark, sf_dir):
     bandpower.py chain — unified as (variant, user_id, i, j, v) and pinned by
     the numpy FFT fixture. The 16-point DFT additionally has the fully
     SQL-expressed trig-sum oracle in spectrum_dft16. The checksum uses
-    decimals=0 (power magnitudes ~1e8; the weighted sum stays < 2^53 so the
-    double-typed v column carries it exactly)."""
+    decimals=0 and is folded mod 2^31 on BOTH sides (fixture + Spark) so the
+    double-typed v column carries it exactly at ANY scale factor — the raw
+    bigint sum would silently cross 2^53 on a larger events table."""
     from .functions.hashing import vhash_agg
     from .operators.spectrum import spectrum
 
@@ -270,7 +304,7 @@ def spectral_suite(spark, sf_dir):
         F.col("freq_idx").cast("bigint").alias("i"), F.lit(0).cast("bigint").alias("j"),
         "v")
     ah = spec.groupBy("user_id", "freq_idx").agg(
-        vhash_agg("spec", "win_id", decimals=0).cast("double").alias("v")).select(
+        vhash_agg("spec", "win_id", decimals=0, mod=2**31).cast("double").alias("v")).select(
         F.lit("spectrum_power_64").alias("variant"), "user_id",
         F.col("freq_idx").cast("bigint").alias("i"), F.lit(1).cast("bigint").alias("j"),
         "v")

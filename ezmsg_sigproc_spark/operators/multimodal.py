@@ -462,6 +462,70 @@ def decode_audio_features(
     return df.mapInPandas(kernel, schema=schema)
 
 
+def synth_png(img: "np.ndarray") -> bytes:
+    """Encode an arbitrary (H, W, 3) uint8 image as a valid RGB PNG, cycling
+    the per-row filter through None/Sub/Up (RFC 2083 §6) so decoders see a
+    realistic filter mix — the spec-side generator for decoder tests and the
+    multimodal throughput bench. Pure numpy + stdlib zlib."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+    rows = img.reshape(h, w * c).astype(np.int16)
+    out = bytearray()
+    for y in range(h):
+        f = y % 3
+        cur = rows[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub: raw[x] = cur[x] - cur[x-bpp]
+            enc = cur.copy()
+            enc[c:] -= cur[:-c]
+        else:  # Up: raw[x] = cur[x] - prev[x]
+            enc = cur - (rows[y - 1] if y else 0)
+        out.append(f)
+        out.extend((enc & 255).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def synth_bmp(img: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 image as an uncompressed 24-bit BI_RGB BMP
+    (bottom-up, BGR, 4-byte-aligned rows)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                            2835, 2835, 0, 0))
+    return header + data
+
+
+def synth_wav(x: "np.ndarray", sample_rate: int) -> bytes:
+    """Encode float samples in [-1, 1] (n,) or (n, channels) as a 16-bit PCM
+    WAV."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
 def synth_solid_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     """Deterministically build a valid solid-color RGB PNG (filter 0 on the
     first row, filter 2/Up on the rest, one zlib stream) — the driver query

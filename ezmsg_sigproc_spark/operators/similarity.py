@@ -181,14 +181,17 @@ def cosine_topk_lsh(
         p = p.unionByName(pp)
         c = c.unionByName(cc)
     joined = c.join(F.broadcast(p), on="_bucket").filter(F.col("neighbor_id") != F.col(probe_id_col))
-    # dedupe candidates that collide in several tables before scoring
-    cand = joined.select(probe_id_col, "neighbor_id", "_pv", "_cv").dropDuplicates(
-        [probe_id_col, "neighbor_id"])
-    sim = cand.select(
+    # Score in the broadcast-join stage (no shuffle yet), THEN dedupe the
+    # multi-table collisions on (probe, neighbor, score) via groupBy-max —
+    # duplicate collisions score identically, so max ≡ any. The dedup
+    # exchange therefore carries 3 scalars per row, not the raw
+    # array<double> embeddings (~8 KB/row at 1k dims — VERDICT r3 item 4);
+    # the extra per-collision dot products are bounded by n_tables ≤ 4.
+    sim = joined.select(
         probe_id_col,
         "neighbor_id",
         (_dot(F.col("_pv"), F.col("_cv")) / (_norm(F.col("_pv")) * _norm(F.col("_cv")))).alias("cos_sim"),
-    )
+    ).groupBy(probe_id_col, "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -237,16 +240,18 @@ def cosine_near_dup_pairs(
         tagged = tagged.unionByName(p)
     a = tagged.alias("a")
     b = tagged.alias("b")
-    cand = (
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (_norm(F.col("a._v")) * _norm(F.col("b._v")))
+    # Score inside the bucket-join stage, then dedupe multi-table collisions
+    # with groupBy-max on the id pair: the dedup exchange carries
+    # (id_a, id_b, cos_sim) — 24 bytes — instead of both raw embeddings
+    # (VERDICT r3 item 4). Filtering cos ≥ τ BEFORE the dedup exchange also
+    # shrinks it to the (rare) passing pairs only; duplicates of a passing
+    # pair all pass with the identical score, so the pair set is unchanged.
+    return (
         a.join(b, on=[F.col("a._bucket") == F.col("b._bucket"),
                       F.col("a._id") < F.col("b._id")])
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                F.col("a._v").alias("_va"), F.col("b._v").alias("_vb"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-    return (
-        cand.withColumn("cos_sim", cos)
+                cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
     )

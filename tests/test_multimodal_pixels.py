@@ -195,3 +195,28 @@ def test_image_and_audio_features_spark(spark):
     assert abs(a[1].rms - float(np.sqrt(np.mean(wav.mean(axis=1) ** 2)))) < 1e-4
     assert len(a[1].frames) == 16 * 4
     assert a[2].format == "unknown"
+
+
+def test_repo_synth_encoders_roundtrip_and_match_independent():
+    """The repo-side synth builders (multimodal.synth_png/synth_bmp/synth_wav
+    — the bench's media generators) must roundtrip through the repo decoders
+    AND agree pixel-for-pixel with the independent test-side encoders."""
+    from ezmsg_sigproc_spark.operators.multimodal import (
+        synth_bmp,
+        synth_png,
+        synth_wav,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    # PNG: synth_png cycles filters None/Sub/Up; decode must recover exactly,
+    # and match the decode of the independent encoder's stream
+    np.testing.assert_array_equal(decode_png_pixels(synth_png(img)), img)
+    np.testing.assert_array_equal(
+        decode_png_pixels(synth_png(img)), decode_png_pixels(png_encode(img, 4)))
+    np.testing.assert_array_equal(decode_bmp_pixels(synth_bmp(img)), img)
+    x = np.clip(rng.standard_normal(5000) * 0.4, -1, 1)
+    y, rate = decode_wav_samples(synth_wav(x, 8000))
+    assert rate == 8000 and y.shape == (5000, 1)
+    # 16-bit quantization + the 32767-encode/32768-decode scale convention
+    assert np.abs(y[:, 0] - x).max() < 1e-4

@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--codec-only", action="store_true",
                     help="time only the Gorilla encode/decode phases (rollup/"
                          "EWMA run untimed as prep)")
+    ap.add_argument("--skew-only", action="store_true",
+                    help="skewed-input probe: remap ~40%% of rows onto ONE "
+                         "hot url, then time the salted_repartition rollup "
+                         "composition (per-(url,salt,bin) partials -> compose "
+                         "across salts -> EWMA over composed bin means) — "
+                         "the engine's documented hot-domain mitigation, "
+                         "end-to-end (VERDICT r3 item 5)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -77,6 +84,70 @@ def main():
         key_cols=["url", "bucket"], ts_col="ts", value_col="value",
         verify="full", emit_blobs=False,
     ).agg(F.count("*")).collect()
+
+    if args.skew_only:
+        from ezmsg_sigproc_spark.plans.rollup_tiers import finalize, salted_repartition
+
+        # one hot url carries ~40% of ALL rows (md5-deterministic remap) —
+        # the hot-domain regime where a per-key ordered kernel over RAW rows
+        # would serialize on one task. The timed job is the engine's
+        # documented mitigation (rollup_tiers.py prose, pytest-pinned in
+        # test_salted_rollup_composes_and_feeds_recurrence_exactly): split
+        # the hot key by ts-derived salt, per-(url, salt, bin) partials,
+        # compose across salts at bin boundaries, then run the recurrence
+        # (EWMA) over the composed bin means — the only place it may run.
+        # n_salts is FIXED across parallelism levels so both levels time the
+        # identical job.
+        hot = (F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("url"), F.col("ts").cast("string"))), 1, 4), 16, 10)
+            % 100) < 40
+        sig_skew = sig.withColumn(
+            "url", F.when(hot, F.lit("https://hot.example/p/0")).otherwise(F.col("url"))
+        ).cache()
+        n_skew = sig_skew.count()
+        sig.unpersist()
+        best = {"skew_rollup": float("inf"), "skew_ewma": float("inf")}
+        n_bins = 0
+        for _ in range(args.repeats):
+            t0 = time.monotonic()
+            salted = salted_repartition(sig_skew, "url", n_salts=16,
+                                        n_partitions=max(args.cores * 4, 8))
+            per_salt = (
+                salted.withColumn("bin_m", F.floor(F.col("ts") / 60).cast("bigint"))
+                .groupBy("url", "_salt", "bin_m")
+                .agg(F.count("value").alias("n"), F.sum("value").alias("sum"),
+                     F.min("value").alias("min"), F.max("value").alias("max"),
+                     F.sum(F.col("value") * F.col("value")).alias("sum_sq"))
+            )
+            composed = finalize(
+                per_salt.groupBy("url", "bin_m").agg(
+                    F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+                    F.min("min").alias("min"), F.max("max").alias("max"),
+                    F.sum("sum_sq").alias("sum_sq")),
+                60).cache()
+            n_bins = composed.count()
+            t1 = time.monotonic()
+            ewma(composed.select("url", F.col("bin_ts").alias("ts"),
+                                 F.col("mean").alias("value")),
+                 alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
+                .agg(F.sum("ewma")).collect()
+            t2 = time.monotonic()
+            composed.unpersist()
+            best["skew_rollup"] = min(best["skew_rollup"], t1 - t0)
+            best["skew_ewma"] = min(best["skew_ewma"], t2 - t1)
+        elapsed = sum(best.values())
+        print(json.dumps({
+            "cores": args.cores,
+            "elapsed": round(elapsed, 3),
+            "phases": {k: round(v, 3) for k, v in best.items()},
+            "rows": n_skew,
+            "hot_frac": 0.4,
+            "n_salts": 16,
+            "composed_bins": n_bins,
+            "rows_per_sec": round(n_skew / elapsed, 1),
+        }))
+        spark.stop()
+        return
 
     cbin = args.codec_bin
     best = {"rollup": float("inf"), "ewma_1m": float("inf"),

@@ -168,10 +168,10 @@ def spectral_rows(df, events_n):
         for fi in range(mean_p.size):
             rows.append(("spectrum_power_64", int(uid), events_n, fi, 0, float(mean_p[fi])))
             # j=1: positional checksum of the full per-window power series
-            # (decimals=0 — magnitudes ~1e8 keep the sum < 2^53, exact in
-            # the double-typed v column)
+            # (decimals=0, folded mod 2^31 on both sides so the double-typed
+            # v column carries it exactly at any scale factor)
             rows.append(("spectrum_power_64", int(uid), events_n, fi, 1,
-                         float(series_vhash(p[:, fi], decimals=0))))
+                         float(series_vhash(p[:, fi], decimals=0, mod=2**31))))
     # spectrogram win 32 (users < 10): i = win_id*32, j = freq_idx
     taps32 = np.hamming(32)
     freqs32 = np.fft.rfftfreq(32, d=1.0)
