@@ -200,16 +200,12 @@ def main():
         import numpy as _np
         import pandas as _pd
 
+        from ezmsg_sigproc_spark.operators.gif import synth_gif as _sg
         from ezmsg_sigproc_spark.operators.multimodal import (
             synth_bmp as _sb,
+            synth_jpeg as _sjc,
             synth_png as _sp,
         )
-        try:
-            from ezmsg_sigproc_spark.operators.multimodal import (
-                synth_jpeg_gray as _sj,
-            )
-        except ImportError:
-            _sj = None
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
@@ -219,13 +215,15 @@ def main():
                 grad = _np.add.outer(_np.arange(h) * 3, _np.arange(w) * 5) % 256
                 img = ((grad[:, :, None] + rng.integers(0, 32, (h, w, 3))) % 256
                        ).astype(_np.uint8)
-                kind = int(i) % (3 if _sj is not None else 2)
+                kind = int(i) % 4
                 if kind == 0:
                     payload = _sp(img)
                 elif kind == 1:
                     payload = _sb(img)
-                else:
-                    payload = _sj(img.mean(axis=2).astype(_np.uint8))
+                elif kind == 2:
+                    payload = _sjc(img, subsample="420")
+                else:  # grayscale-palette GIF through real dictionary LZW
+                    payload = _sg(img.mean(axis=2).astype(_np.uint8))
                 rows.append((int(i), payload))
             yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
 

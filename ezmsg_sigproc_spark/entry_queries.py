@@ -1238,22 +1238,57 @@ def doc_fingerprint(spark, sf_dir):
               + ((instr('0123456789abcdef', substr(md5(text), 9, 1)) - 1) * 16
                 + instr('0123456789abcdef', substr(md5(text), 10, 1)) - 1)) AS BIGINT)
     FROM documents
+    UNION ALL
+    SELECT 'jpeg_real', count(*),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 11, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 12, 1)) - 1) % 16) AS BIGINT),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 13, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 14, 1)) - 1) % 16) AS BIGINT),
+           CAST(sum((instr('0123456789abcdef', substr(md5(text), 15, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 16, 1)) - 1) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'gif_real', count(*),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 17, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 18, 1)) - 1) % 16) AS BIGINT),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 19, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 20, 1)) - 1) % 16) AS BIGINT),
+           CAST(sum(((instr('0123456789abcdef', substr(md5(text), 21, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 22, 1)) - 1) * 65536
+              + ((instr('0123456789abcdef', substr(md5(text), 23, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 24, 1)) - 1) * 256
+              + ((instr('0123456789abcdef', substr(md5(text), 25, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 26, 1)) - 1)) AS BIGINT)
+    FROM documents
     """,
 )
 def multimodal_decode(spark, sf_dir):
-    """Multimodal decode, two layers in one row set. (1) The md5-fake
+    """Multimodal decode, three layers in one row set. (1) The md5-fake
     metadata stub rows (format-level aggregates, SQL-twin). (2) 'png_real':
     each doc becomes a solid-color PNG (dims and RGB md5-derived,
     synth_solid_png — a real deflate+filtered PNG stream), pushed through
     the REAL spec decoder (decode_png_pixels, multimodal.py); sum_w/sum_h
     are decoded dimensions and sum_bytes packs the decoded per-channel
-    means (r·65536+g·256+b — exact for solid colors). The oracle recomputes
-    every number in closed form from md5(text): equality proves the full
-    build→deflate→unfilter→decode→aggregate chain, not just plumbing."""
+    means (r·65536+g·256+b — exact for solid colors). (3) 'jpeg_real' —
+    NEW round 4: each doc becomes a solid-GRAY baseline JPEG (dims and
+    level md5-derived, synth_jpeg_gray with the all-8 quant table), pushed
+    through the full from-spec T.81 decoder (Huffman → dequant → IDCT,
+    operators/jpeg.py); with q00=8 the solid reconstruction is EXACT
+    (DC = 8·(v−128) quantizes to v−128), so sum_w/sum_h/sum(v) have a
+    closed form. (4) 'gif_real' — also round 4: each doc becomes a
+    solid-color GIF (palette[0] = md5-derived RGB) through REAL dictionary
+    LZW encode and the full variable-width LZW decoder (operators/gif.py);
+    GIF is lossless, so the same rgb-packed closed form as png_real holds
+    exactly. The oracle recomputes every number from md5(text): equality
+    proves build→entropy-code→decode→aggregate end to end for BOTH
+    entropy-coded formats."""
     import hashlib as _hl
 
+    import numpy as _np
     import pandas as _pd
 
+    from .operators.gif import decode_gif_pixels, synth_gif
+    from .operators.jpeg import decode_jpeg_pixels, synth_jpeg_gray
     from .operators.multimodal import decode_png_pixels, synth_solid_png
 
     docs = _docs(spark, sf_dir).select(
@@ -1289,7 +1324,56 @@ def multimodal_decode(spark, sf_dir):
         F.sum("h").cast("bigint").alias("sum_h"),
         F.sum("packed_rgb").cast("bigint").alias("sum_bytes"),
     ).select(F.lit("png_real").alias("format"), "n", "sum_w", "sum_h", "sum_bytes")
-    return fake.unionByName(real)
+
+    def jpeg_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                hx = _hl.md5(bytes(b)).hexdigest()
+                w = 1 + int(hx[10:12], 16) % 16
+                h = 1 + int(hx[12:14], 16) % 16
+                v = int(hx[14:16], 16)
+                img = decode_jpeg_pixels(
+                    synth_jpeg_gray(_np.full((h, w), v, dtype=_np.uint8)))
+                rows.append((img.shape[1], img.shape[0], int(round(img.mean()))))
+            yield _pd.DataFrame(rows, columns=["w", "h", "v"])
+
+    jreal = docs.mapInPandas(
+        jpeg_kernel, schema="w int, h int, v bigint"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum("h").cast("bigint").alias("sum_h"),
+        F.sum("v").cast("bigint").alias("sum_bytes"),
+    ).select(F.lit("jpeg_real").alias("format"), "n", "sum_w", "sum_h", "sum_bytes")
+
+    def gif_kernel(batches):
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                hx = _hl.md5(bytes(b)).hexdigest()
+                w = 1 + int(hx[16:18], 16) % 16
+                h = 1 + int(hx[18:20], 16) % 16
+                pal = _np.zeros((2, 3), dtype=_np.uint8)
+                pal[0] = (int(hx[20:22], 16), int(hx[22:24], 16),
+                          int(hx[24:26], 16))
+                img = decode_gif_pixels(
+                    synth_gif(_np.zeros((h, w), dtype=_np.uint8), pal))
+                px = img[0, 0]
+                assert (img == px[None, None, :]).all()
+                rows.append((img.shape[1], img.shape[0],
+                             int(px[0]) * 65536 + int(px[1]) * 256 + int(px[2])))
+            yield _pd.DataFrame(rows, columns=["w", "h", "packed_rgb"])
+
+    greal = docs.mapInPandas(
+        gif_kernel, schema="w int, h int, packed_rgb bigint"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum("h").cast("bigint").alias("sum_h"),
+        F.sum("packed_rgb").cast("bigint").alias("sum_bytes"),
+    ).select(F.lit("gif_real").alias("format"), "n", "sum_w", "sum_h", "sum_bytes")
+    return fake.unionByName(real).unionByName(jreal).unionByName(greal)
 
 
 @q(

@@ -24,8 +24,14 @@ stdlib; RFC 2083 filters are byte arithmetic), BMP (BI_RGB raw) and WAV
 :func:`decode_wav_samples`, plus :func:`resize_area` (integral-image box
 resampling) and :func:`frame_sample`, surfaced as the
 :func:`decode_image_features` / :func:`decode_audio_features` operators.
-Only entropy-coded formats (JPEG, GIF-LZW, video codecs) remain header-only
-behind ``resize_stub``'s NotImplementedError.
+
+Round 4 closes the entropy-coded gap: a from-spec baseline JPEG decoder
+(ITU-T T.81 Huffman + dequant + IDCT + T.871 color, operators/jpeg.py) and a
+full GIF87a/89a decoder (variable-width LZW, transparency, animation frames,
+operators/gif.py) — ``decode_image_features`` now decodes PNG, BMP, JPEG and
+GIF for real, all stdlib+numpy. Only true video codecs remain header-only
+behind ``resize_stub``; GIF animations ARE the tested frame-sampling input
+(decode_gif_frames → frame_sample).
 """
 
 from __future__ import annotations
@@ -178,14 +184,16 @@ def decode_media_meta(
 
 
 def resize_stub(df: DataFrame, binary_col: str = "payload", **kw) -> DataFrame:
-    """Resize for entropy-coded formats (JPEG/GIF/video) — still needs codec
-    libraries absent from this container. PNG, BMP and WAV are fully decoded
-    WITHOUT codec libs: use :func:`decode_image_features` /
-    :func:`decode_audio_features` (real pixel/sample decode + area resize +
-    frame sampling below)."""
+    """Resize for true VIDEO codecs (H.264 etc.) — still needs codec
+    libraries absent from this container. Every image/audio container here
+    is fully decoded WITHOUT codec libs: PNG, BMP, WAV, baseline JPEG
+    (operators/jpeg.py) and GIF incl. animation frames (operators/gif.py) —
+    use :func:`decode_image_features` / :func:`decode_audio_features`, and
+    ``decode_gif_frames`` + :func:`frame_sample` for frame stacks."""
     raise NotImplementedError(
-        "JPEG/GIF/video decode requires codec libraries not present in this "
-        "container; PNG/BMP/WAV have real decoders — see decode_image_features"
+        "video-codec decode requires libraries not present in this "
+        "container; PNG/BMP/WAV/JPEG/GIF have real decoders — see "
+        "decode_image_features"
     )
 
 
@@ -386,12 +394,18 @@ def decode_image_features(
     schema = (keep_schema + ", " if keep_schema else "") + IMAGE_FEATURES_SCHEMA
     th, tw = thumb
 
+    from .gif import decode_gif_pixels as _gif
+
     def one(b: bytes) -> tuple:
         try:
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 img, fmt = decode_png_pixels(b), "png"
             elif b[:2] == b"BM":
                 img, fmt = decode_bmp_pixels(b), "bmp"
+            elif b[:2] == b"\xff\xd8":
+                img, fmt = decode_jpeg_pixels(b), "jpeg"
+            elif b[:6] in (b"GIF87a", b"GIF89a"):
+                img, fmt = _gif(b), "gif"
             else:
                 return ("unknown", None, None, None, None, None, None, None)
         except Exception:
@@ -460,6 +474,13 @@ def decode_audio_features(
             yield out
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+from .jpeg import (  # noqa: E402  (re-export: JPEG lives in its own module)
+    decode_jpeg_pixels,
+    synth_jpeg,
+    synth_jpeg_gray,
+)
 
 
 def synth_png(img: "np.ndarray") -> bytes:

@@ -1,0 +1,94 @@
+"""GIF87a/89a codec tests (operators/gif.py).
+
+Independence: beyond encoder↔decoder roundtrips, the LZW decoder is pinned
+against a HAND-PACKED code stream written here directly from the spec's
+bit-packing rules (LSB-first, variable width, clear/EOI, the cScSc
+code==next-entry case) — no shared code with the encoder.
+"""
+
+import numpy as np
+import pytest
+
+from ezmsg_sigproc_spark.operators.gif import (
+    decode_gif_frames,
+    decode_gif_pixels,
+    lzw_decode,
+    lzw_encode,
+    synth_gif,
+)
+
+
+def test_lzw_decode_hand_packed_spec_stream():
+    # mcs=2 → clear=4, eoi=5, width=3. Codes [4, 1, 6, 5]:
+    #   clear; literal 1 → "1"; code 6 == next table entry (cScSc) → "11";
+    #   eoi. Output = 01 01 01. LSB-first packing of 3-bit codes
+    #   [100, 001, 110, 101] → bytes 0x8C, 0x0B.
+    assert lzw_decode(b"\x8c\x0b", 2) == b"\x01\x01\x01"
+
+
+def test_lzw_roundtrips_cover_dictionary_paths():
+    rng = np.random.default_rng(5)
+    cases = [
+        b"abcabcabcabc" * 50,          # dictionary hits
+        bytes([7] * 1000 + [3] * 1000),  # long runs (cScSc repeatedly)
+        bytes(rng.integers(0, 256, 60000, dtype=np.uint8)),  # table churn + clear at 4096
+        b"x",
+        b"aaaaaa",
+    ]
+    for data in cases:
+        for mcs in (2, 4, 8):
+            if max(data) >= (1 << mcs):
+                continue
+            assert lzw_decode(lzw_encode(data, mcs), mcs) == data
+
+
+def test_gif_still_roundtrip_arbitrary_palette():
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    out = decode_gif_pixels(synth_gif(idx, pal))
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_gif_animation_and_transparency_compositing():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(1, 255, (256, 3), dtype=np.uint8)
+    f1 = rng.integers(1, 256, (9, 11), dtype=np.uint8)  # no index 0
+    f2 = f1.copy()
+    f2[2:5, 3:8] = 0  # index 0 = transparent hole
+    g = synth_gif([f1, f2], pal, transparent_idx=0)
+    frames = decode_gif_frames(g)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], pal[f1])
+    # the transparent hole must show frame 1's pixels through frame 2
+    np.testing.assert_array_equal(frames[1], pal[f1])
+    # frame sampling over the decoded animation stack
+    from ezmsg_sigproc_spark.operators.multimodal import frame_sample
+
+    stack = np.stack(frames)
+    assert frame_sample(stack, 2).shape == (2, 9, 11, 3)
+
+
+def test_gif_rejects_garbage_and_interlace():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"NOTAGIF")
+    g = bytearray(synth_gif(np.zeros((4, 4), np.uint8)))
+    i = 6 + 7 + 3 * 256  # header + LSD + 256-entry GCT → image descriptor
+    assert g[i] == 0x2C
+    g[i + 9] |= 0x40  # set interlace flag
+    with pytest.raises(ValueError, match="interlace"):
+        decode_gif_pixels(bytes(g))
+
+
+def test_image_features_decodes_gif_spark(spark):
+    from ezmsg_sigproc_spark.operators.multimodal import decode_image_features
+
+    rng = np.random.default_rng(8)
+    idx = rng.integers(0, 256, (10, 6), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(synth_gif(idx, pal)))],
+                               "doc_id bigint, payload binary")
+    r = decode_image_features(df).collect()[0]
+    assert r.format == "gif" and (r.width, r.height) == (6, 10)
+    exp = pal[idx].reshape(-1, 3).mean(axis=0)
+    assert abs(r.mean_r - exp[0]) < 1e-9 and abs(r.mean_b - exp[2]) < 1e-9

@@ -1,0 +1,185 @@
+"""Baseline JPEG codec tests (operators/jpeg.py, ITU-T T.81).
+
+Independence pyramid:
+ 1. the module's einsum IDCT/FDCT are pinned against a DIRECT O(N^4)
+    evaluation of the §A.3.3 spec formulas written here;
+ 2. entropy coding is pinned LOSSLESSLY: decode_jpeg_coefficients must
+    return exactly the quantized coefficients the test recomputes with its
+    own direct DCT — Huffman, zigzag, DC prediction, ZRL/EOB and restart
+    markers all have to be bit-perfect for that to hold;
+ 3. end-to-end closed forms: solid images reconstruct EXACTLY with the
+    all-8 quant table (DC = 8·(v−128) quantizes losslessly), arbitrary
+    images roundtrip within ±1 at quant=1.
+"""
+
+import numpy as np
+import pytest
+
+from ezmsg_sigproc_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_jpeg_coefficients,
+    decode_jpeg_pixels,
+    fdct2_blocks,
+    idct2_blocks,
+    synth_jpeg,
+    synth_jpeg_gray,
+)
+
+
+def _direct_idct(S: np.ndarray) -> np.ndarray:
+    """§A.3.3 IDCT, direct quadruple loop (spec formula, no matrix tricks)."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (cu * cv * S[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[y, x] = acc / 4.0
+    return out
+
+
+def _direct_fdct(s: np.ndarray) -> np.ndarray:
+    """§A.3.3 FDCT, direct quadruple loop."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            acc = 0.0
+            for y in range(8):
+                for x in range(8):
+                    acc += (s[y, x]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[u, v] = cu * cv * acc / 4.0
+    return out
+
+
+def test_idct_fdct_match_direct_spec_formula():
+    rng = np.random.default_rng(41)
+    S = rng.uniform(-512, 512, (8, 8))
+    # NOTE index convention: coefficient array is indexed [v(row), u(col)] =
+    # [vertical freq, horizontal freq]; the einsum applies M on both sides,
+    # which is symmetric under that pairing
+    np.testing.assert_allclose(idct2_blocks(S[None])[0], _direct_idct(S.T),
+                               atol=1e-10)
+    s = rng.uniform(-128, 127, (8, 8))
+    np.testing.assert_allclose(fdct2_blocks(s[None])[0], _direct_fdct(s).T,
+                               atol=1e-10)
+    # inverse relationship + solid closed form
+    np.testing.assert_allclose(idct2_blocks(fdct2_blocks(s[None]))[0], s,
+                               atol=1e-10)
+    solid = np.full((1, 8, 8), 77.0)
+    S2 = fdct2_blocks(solid - 128.0)
+    assert abs(S2[0, 0, 0] - 8 * (77 - 128)) < 1e-9
+    assert np.abs(S2[0]).sum() - abs(S2[0, 0, 0]) < 1e-9
+
+
+def test_entropy_coding_lossless_vs_independent_dct():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    q = np.full((8, 8), 8, dtype=np.int64)
+    payload = synth_jpeg_gray(img, restart_interval=3)
+    frame, coefs = decode_jpeg_coefficients(payload)
+    assert (frame["width"], frame["height"]) == (40, 24)
+    got = coefs[0]  # (3, 5, 8, 8) natural order, quantized
+    for by in range(3):
+        for bx in range(5):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            exp = np.round(_direct_fdct(blk - 128.0).T / q)
+            np.testing.assert_array_equal(got[by, bx], exp, err_msg=f"{by},{bx}")
+
+
+def test_solid_gray_exact_all_dims():
+    for v, (h, w) in [(0, (5, 9)), (37, (16, 16)), (128, (1, 1)),
+                      (255, (13, 3)), (91, (8, 24)), (200, (17, 17))]:
+        img = np.full((h, w), v, dtype=np.uint8)
+        dec = decode_jpeg_pixels(synth_jpeg_gray(img))
+        assert dec.shape == (h, w)
+        np.testing.assert_array_equal(dec, img)
+
+
+def test_restart_intervals_reset_dc_prediction():
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (16, 64), dtype=np.uint8)
+    plain = decode_jpeg_pixels(synth_jpeg_gray(img))
+    with_rst = decode_jpeg_pixels(synth_jpeg_gray(img, restart_interval=2))
+    np.testing.assert_array_equal(plain, with_rst)
+
+
+def test_quant1_near_lossless_roundtrip():
+    rng = np.random.default_rng(44)
+    img = (rng.integers(0, 64, (17, 23)) + 96).astype(np.uint8)
+    dec = decode_jpeg_pixels(synth_jpeg_gray(img, quant=np.ones(64)))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_color_444_and_420():
+    img = np.zeros((10, 14, 3), np.uint8)
+    img[:] = (120, 64, 200)
+    for sub in ("444", "420"):
+        dec = decode_jpeg_pixels(synth_jpeg(img, subsample=sub))
+        assert dec.shape == (10, 14, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1, sub
+    # gradient, 4:4:4, quant=1: near-lossless through the color transform
+    g = (np.add.outer(np.arange(20) * 5, np.arange(28) * 3) % 200 + 20)
+    img2 = np.stack([g, 255 - g, g // 2 + 60], axis=2).astype(np.uint8)
+    dec2 = decode_jpeg_pixels(synth_jpeg(img2, quant_luma=np.ones(64),
+                                         quant_chroma=np.ones(64)))
+    assert np.abs(dec2.astype(int) - img2.astype(int)).max() <= 2
+
+
+def test_rejects_progressive_and_garbage():
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    payload = bytearray(synth_jpeg_gray(img))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_pixels(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x89PNG not a jpeg")
+
+
+def test_zigzag_is_the_standard_order():
+    # spot-pin the first and last few entries of the T.81 Figure 5 order
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_header_walker_reads_synth_jpeg():
+    from ezmsg_sigproc_spark.operators.multimodal import parse_media_header
+
+    h = parse_media_header(synth_jpeg_gray(np.full((11, 29), 9, np.uint8)))
+    assert h["format"] == "jpeg" and (h["width"], h["height"]) == (29, 11)
+    assert h["channels"] == 1
+    h3 = parse_media_header(synth_jpeg(np.zeros((6, 7, 3), np.uint8)))
+    assert (h3["width"], h3["height"], h3["channels"]) == (7, 6, 3)
+
+
+def test_image_features_decodes_jpeg_spark(spark):
+    from ezmsg_sigproc_spark.operators.multimodal import (
+        decode_image_features,
+        synth_png,
+    )
+
+    rng = np.random.default_rng(45)
+    img = rng.integers(60, 196, (12, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(synth_jpeg(img, quant_luma=np.ones(64),
+                                 quant_chroma=np.ones(64)))),
+        (2, bytearray(synth_png(img))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in decode_image_features(df).collect()}
+    assert out[1].format == "jpeg" and (out[1].width, out[1].height) == (8, 12)
+    # same pixels through JPEG (q=1, near-lossless) and PNG (lossless):
+    # channel means agree within the ±1/pixel JPEG roundtrip bound
+    for a, b in zip((out[1].mean_r, out[1].mean_g, out[1].mean_b),
+                    (out[2].mean_r, out[2].mean_g, out[2].mean_b)):
+        assert abs(a - b) <= 1.0

@@ -185,7 +185,9 @@ def test_image_and_audio_features_spark(spark):
     assert (out[1].mean_r, out[1].mean_g, out[1].mean_b) == \
         (out[2].mean_r, out[2].mean_g, out[2].mean_b)
     assert bytes(out[1].thumb) == bytes(out[2].thumb) and len(out[1].thumb) == 8 * 8 * 3
-    assert out[3].format == "unknown" and out[3].width is None
+    # SOI prefix routes to the JPEG decoder since round 4; truncated garbage
+    # after it is classified corrupt (it IS a broken JPEG, not an unknown)
+    assert out[3].format == "corrupt" and out[3].width is None
 
     adf = spark.createDataFrame(
         [(1, bytearray(wav_encode(wav, 16000))), (2, bytearray(b"RIFFxxxx"))],
