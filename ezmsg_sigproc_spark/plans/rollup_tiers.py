@@ -165,6 +165,18 @@ class RollupStore:
         per bucket — rows arriving for a bucket already committed to lineage
         are intentionally not re-ingested (re-run with resume=False, or expire
         the bucket, to reprocess).
+
+        CONCURRENT writers are safe under the same immutable-input-per-bucket
+        assumption (two attempts at the same bucket produce identical
+        content): each attempt stages into its OWN uuid-suffixed directory
+        (no staging collisions), and a bucket rename that loses the race to
+        another writer is skipped — the surviving directory is byte-
+        equivalent. Lineage may then hold one row per winning writer;
+        ``completed_buckets`` reads it as a set, so duplicates are harmless.
+        A reader concurrent with a write sees only fully-renamed bucket
+        directories (rename is atomic; staging lives under ``_staging``,
+        which readers never touch). Pinned by
+        tests/test_rollup_pipeline.py::test_concurrent_writers_and_read_mid_write.
         """
         bin_seconds = TIERS[tier]
         out = rollup.withColumn("ts_bucket", _bucket_col(bin_seconds))
@@ -172,7 +184,8 @@ class RollupStore:
         if done:
             out = out.filter(~F.col("ts_bucket").isin(list(done)))
         tier_dir = os.path.join(self.root, f"tier={tier}")
-        staging = os.path.join(self.root, "_staging", f"tier={tier}")
+        staging = os.path.join(self.root, "_staging",
+                               f"tier={tier}-{uuid.uuid4().hex[:8]}")
         # Co-locate each ts_bucket in one task before the dynamic-partition
         # write: without this, every shuffle partition opens a writer in every
         # bucket directory (tasks × buckets small files — 23k files / 60 s for
@@ -207,9 +220,16 @@ class RollupStore:
                 if not d.startswith("ts_bucket="):
                     continue
                 dst = os.path.join(tier_dir, d)
-                if os.path.exists(dst):  # stale partial from a crashed run
-                    shutil.rmtree(dst)
-                os.rename(os.path.join(staging, d), dst)
+                try:
+                    if os.path.exists(dst):  # stale partial from a crashed run
+                        shutil.rmtree(dst)
+                    os.rename(os.path.join(staging, d), dst)
+                except OSError:
+                    # lost the rename race to a concurrent writer of the same
+                    # bucket — its directory has identical content (immutable
+                    # input per bucket), so the commit stands either way
+                    if not os.path.isdir(dst):
+                        raise
             self._append_lineage(tier, stats)
         shutil.rmtree(staging, ignore_errors=True)
         return {

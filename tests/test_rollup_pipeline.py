@@ -355,3 +355,69 @@ def test_read_resolution_unaligned_bounds_and_partition_pruning(spark, tmp_path)
     np.testing.assert_allclose(
         got.iloc[[0, -1]]["mean"].to_numpy(),
         (exp.iloc[[0, -1]]["sum"] / exp.iloc[[0, -1]]["n"]).to_numpy(), rtol=1e-12)
+
+
+def test_concurrent_writers_and_read_mid_write(spark, pages, tmp_path):
+    """VERDICT r3 item 6: two OVERLAPPING write_tier attempts on the same
+    tier (both started before either commits lineage — the resumable-jobs
+    double-attempt scenario), with a reader polling mid-write. Required end
+    state: lineage buckets == directories on disk, the tier content equals a
+    single-writer run exactly, and every mid-write read only ever saw
+    COMPLETE buckets (full per-bucket row counts — never a partial)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ezmsg_sigproc_spark.plans.rollup_tiers import (
+        RollupStore,
+        _bucket_col,
+        pages_signal,
+        rollup_base,
+    )
+
+    r1m = rollup_base(pages_signal(pages), 60)
+    expected = {
+        r.ts_bucket: r.cnt
+        for r in r1m.withColumn("ts_bucket", _bucket_col(60))
+        .groupBy("ts_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(expected.values())
+    store = RollupStore(spark, str(tmp_path / "lake"))
+
+    observations = []
+    with ThreadPoolExecutor(2) as ex:
+        # both writers launched with resume=True against an EMPTY lineage:
+        # each sees zero completed buckets, so both attempt every bucket
+        f1 = ex.submit(store.write_tier, "1m", r1m, True)
+        f2 = ex.submit(store.write_tier, "1m", r1m, True)
+        while not (f1.done() and f2.done()):
+            try:
+                obs = {
+                    r.ts_bucket: r.cnt
+                    for r in store.read_tier("1m").groupBy("ts_bucket")
+                    .agg(F.count("*").alias("cnt")).collect()
+                }
+                observations.append(obs)
+            except Exception:
+                pass  # tier dir not created yet — nothing committed
+            _time.sleep(0.05)
+        m1, m2 = f1.result(), f2.result()
+
+    # end-state consistency: lineage == disk == expected
+    done = store.completed_buckets("1m")
+    tier_dir = tmp_path / "lake" / "tier=1m"
+    on_disk = {int(d.name.split("=")[1]) for d in tier_dir.iterdir()
+               if d.name.startswith("ts_bucket=")}
+    assert done == on_disk == set(expected)
+    got = {r.ts_bucket: r.cnt for r in store.read_tier("1m")
+           .groupBy("ts_bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert got == expected
+    assert store.read_tier("1m").count() == total
+    # no staging leftovers
+    staging_root = tmp_path / "lake" / "_staging"
+    assert not staging_root.exists() or not any(staging_root.iterdir())
+    # both writers reported; together they attempted every bucket at least once
+    assert m1["buckets_written"] + m2["buckets_written"] >= len(expected)
+    # every mid-write observation saw only COMPLETE buckets
+    for obs in observations:
+        for b, cnt in obs.items():
+            assert cnt == expected[b], f"partial bucket {b} visible mid-write"
