@@ -423,7 +423,7 @@ def main():
     for cores in (SCALING_N, SCALING_N * 4, SCALING_N, SCALING_N * 4):
         res = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
-             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "1",
+             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "3",
              "--skew-only"],
             capture_output=True, text=True, timeout=1200, env=worker_env,
         )
@@ -439,6 +439,7 @@ def main():
             "rows": rr[0]["rows"],
             "hot_frac": rr[0]["hot_frac"],
             "n_salts": rr[0]["n_salts"],
+            "hot_keys_detected": rr[0]["hot_keys_detected"],
             "composed_bins": rr[0]["composed_bins"],
             "rows_per_sec": round(rr[0]["rows"] / elapsed, 1),
             "runs_phases": [r["phases"] for r in rr],

@@ -312,6 +312,36 @@ def test_salted_rollup_composes_and_feeds_recurrence_exactly(spark, pages):
     np.testing.assert_allclose(ea["ewma"].to_numpy(), eb["ewma"].to_numpy(),
                                rtol=1e-12)
 
+    # selective salting (round 4): only detected hot keys split — non-hot
+    # keys keep salt 0, and the composed result is unchanged bin-for-bin
+    from ezmsg_sigproc_spark.plans.rollup_tiers import heavy_hitter_keys
+
+    detected = heavy_hitter_keys(sig, "url", threshold_frac=0.2, sample_frac=0.5)
+    urls = {r.url for r in sig.select("url").distinct().collect()}
+    # three near-equal urls each carry ~1/3 > 0.2 → all detected
+    assert set(detected) == urls
+    hot = [sorted(urls)[0]]  # salt ONE key so a non-hot population exists
+    salted2 = salted_repartition(sig, "url", n_salts=4, n_partitions=8,
+                                 hot_keys=hot)
+    non_hot_salts = (salted2.filter(~F.col("url").isin(hot))
+                     .select("_salt").distinct().collect())
+    assert [r._salt for r in non_hot_salts] == [0]
+    composed2 = finalize(
+        salted2.withColumn("bin_m", F.floor(F.col("ts") / 60).cast("bigint"))
+        .groupBy("url", "_salt", "bin_m")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("sum"),
+             F.min("value").alias("min"), F.max("value").alias("max"),
+             F.sum(F.col("value") * F.col("value")).alias("sum_sq"))
+        .groupBy("url", "bin_m").agg(
+            F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+            F.min("min").alias("min"), F.max("max").alias("max"),
+            F.sum("sum_sq").alias("sum_sq")),
+        60)
+    c = composed2.toPandas().sort_values(["url", "bin_m"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["url", "bin_m", "n", "min", "max"]], c[["url", "bin_m", "n", "min", "max"]])
+    np.testing.assert_allclose(a["sum"], c["sum"], rtol=1e-12)
+
 
 def test_read_resolution_unaligned_bounds_and_partition_pruning(spark, tmp_path):
     """read_resolution with t0/t1 NOT multiples of the requested grid must

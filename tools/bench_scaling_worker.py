@@ -86,18 +86,28 @@ def main():
     ).agg(F.count("*")).collect()
 
     if args.skew_only:
-        from ezmsg_sigproc_spark.plans.rollup_tiers import finalize, salted_repartition
+        from ezmsg_sigproc_spark.plans.rollup_tiers import (
+            finalize,
+            heavy_hitter_keys,
+            salt_column,
+        )
 
         # one hot url carries ~40% of ALL rows (md5-deterministic remap) —
-        # the hot-domain regime where a per-key ordered kernel over RAW rows
-        # would serialize on one task. The timed job is the engine's
-        # documented mitigation (rollup_tiers.py prose, pytest-pinned in
-        # test_salted_rollup_composes_and_feeds_recurrence_exactly): split
-        # the hot key by ts-derived salt, per-(url, salt, bin) partials,
-        # compose across salts at bin boundaries, then run the recurrence
-        # (EWMA) over the composed bin means — the only place it may run.
+        # the hot-domain regime where a naive per-key chain serializes on
+        # one task. The timed job is the engine's documented mitigation
+        # (rollup_tiers.salt_column prose, pytest-pinned in
+        # test_salted_rollup_composes_and_feeds_recurrence_exactly):
+        # heavy-hitter detection, salt the DETECTED hot key only, salted
+        # TWO-STAGE aggregation — per-(url, salt, bin) partials (map-side
+        # combine: the exchange carries partial rows, never raw rows)
+        # composed across salts at bin boundaries — then the recurrence
+        # (EWMA) over the composed bin means, the only place a recurrence
+        # may run. No raw-row repartition: that variant is pinned to the
+        # single-box shuffle-bandwidth ceiling (~0.7 at 2→8 cores,
+        # measured) and is avoidable for aggregation chains by design.
         # n_salts is FIXED across parallelism levels so both levels time the
-        # identical job.
+        # identical job. The timed phase INCLUDES the heavy-hitter scan —
+        # detect-then-salt is the end-to-end mitigation, not just the salt.
         hot = (F.conv(F.substring(F.md5(F.concat_ws(
             "|", F.col("url"), F.col("ts").cast("string"))), 1, 4), 16, 10)
             % 100) < 40
@@ -108,10 +118,12 @@ def main():
         sig.unpersist()
         best = {"skew_rollup": float("inf"), "skew_ewma": float("inf")}
         n_bins = 0
+        n_hot = 0
         for _ in range(args.repeats):
             t0 = time.monotonic()
-            salted = salted_repartition(sig_skew, "url", n_salts=16,
-                                        n_partitions=max(args.cores * 4, 8))
+            hot_keys = heavy_hitter_keys(sig_skew, "url", threshold_frac=0.01)
+            n_hot = len(hot_keys)
+            salted = salt_column(sig_skew, "url", n_salts=16, hot_keys=hot_keys)
             per_salt = (
                 salted.withColumn("bin_m", F.floor(F.col("ts") / 60).cast("bigint"))
                 .groupBy("url", "_salt", "bin_m")
@@ -143,6 +155,7 @@ def main():
             "rows": n_skew,
             "hot_frac": 0.4,
             "n_salts": 16,
+            "hot_keys_detected": n_hot,
             "composed_bins": n_bins,
             "rows_per_sec": round(n_skew / elapsed, 1),
         }))

@@ -23,7 +23,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def _worker(q):
+def _worker(q, barrier):
     import time
 
     import numpy as np
@@ -36,8 +36,13 @@ def _worker(q):
     vals = np.round(rng.standard_normal(n) * 5 + 100, 2)
     encode_timestamps(ts)
     encode_values(vals)  # warm
+    # BARRIER before measuring: without it, spawn stagger (+ numpy import)
+    # lets early workers measure with k-way contention only partially
+    # established, inflating the low-k per-core figure and garbling the
+    # attainable-speedup ratio (seen as hw_attainable 0.37 in one r4 run)
+    barrier.wait()
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         encode_timestamps(ts)
         encode_values(vals)
@@ -48,7 +53,8 @@ def _worker(q):
 def measure(k: int) -> float:
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    procs = [ctx.Process(target=_worker, args=(q,)) for _ in range(k)]
+    barrier = ctx.Barrier(k)
+    procs = [ctx.Process(target=_worker, args=(q, barrier)) for _ in range(k)]
     for p in procs:
         p.start()
     vals = [q.get() for _ in procs]
