@@ -41,18 +41,22 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
-                         bitorder="little")
+                         bitorder="little").astype(np.uint32)
     pos = 0
     nbits = bits.size
+    # peek12[p] = the next 12 bits at position p as one LSB-first value
+    # (12 = max LZW code width) — one shift per code instead of a per-bit loop
+    padded = np.concatenate([bits, np.zeros(12, dtype=np.uint32)])
+    peek12 = np.zeros(nbits + 1, dtype=np.uint32)
+    for k in range(12):
+        peek12 |= padded[k : nbits + 1 + k] << k
 
     width = min_code_size + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     out = bytearray()
     prev: bytes | None = None
     while pos + width <= nbits:
-        code = 0
-        for k in range(width):
-            code |= int(bits[pos + k]) << k
+        code = int(peek12[pos]) & ((1 << width) - 1)
         pos += width
         if code == clear:
             table = table[: clear + 2]

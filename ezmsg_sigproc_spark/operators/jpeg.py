@@ -76,13 +76,28 @@ def fdct2_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 class _Huff:
-    """Canonical Huffman decode tables per Annex C + §F.2.2.3."""
+    """Canonical Huffman decode tables per Annex C + §F.2.2.3, with the
+    classic first-level LUT acceleration: an 8-bit-peek table resolves every
+    code of length ≤ 8 in one lookup (covers 100% of this repo's encoder
+    output and the overwhelming share of Annex-K symbols); longer codes
+    fall back to the spec's bitwise MINCODE/MAXCODE walk."""
 
     def __init__(self, bits: list[int], vals: bytes):
         self.vals = vals
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
         self.valptr = [0] * 17
+        self.lut = np.full(256, -1, dtype=np.int32)  # (length << 8) | symbol
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                if ln <= 8:
+                    lo = code << (8 - ln)
+                    self.lut[lo : lo + (1 << (8 - ln))] = (ln << 8) | vals[k]
+                code += 1
+                k += 1
+            code <<= 1
         code = 0
         k = 0
         for ln in range(1, 17):
@@ -95,40 +110,46 @@ class _Huff:
             code <<= 1
 
     def decode(self, br: "_BitReader") -> int:
-        code = br.read_bit()
+        e = int(self.lut[br.peek16[br.pos] >> 8])
+        if e >= 0:
+            br.pos += e >> 8
+            if br.pos > br.nbits:
+                raise ValueError("entropy segment exhausted")
+            return e & 0xFF
+        code = br.receive(1)
         ln = 1
         while code > self.maxcode[ln]:
             if ln >= 16:
                 raise ValueError("invalid Huffman code")
-            code = (code << 1) | br.read_bit()
+            code = (code << 1) | br.receive(1)
             ln += 1
         return self.vals[self.valptr[ln] + code - self.mincode[ln]]
 
 
 class _BitReader:
-    """MSB-first bit reader over one destuffed entropy segment."""
+    """MSB-first bit reader over one destuffed entropy segment. ``peek16``
+    holds, for every bit position p, the next 16 bits as one uint16 (built
+    with 16 vectorized shifts at construction) — field extraction is then a
+    single shift instead of a per-bit Python loop."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.uint32)
+        self.nbits = bits.size
+        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint32)])
+        peek = np.zeros(self.nbits + 1, dtype=np.uint32)
+        for k in range(16):
+            peek |= padded[k : self.nbits + 1 + k] << (15 - k)
+        self.peek16 = peek
         self.pos = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= self.bits.size:
-            raise ValueError("entropy segment exhausted")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
 
     def receive(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.bits.size:
+        p = self.pos
+        self.pos = p + n
+        if self.pos > self.nbits:
             raise ValueError("entropy segment exhausted")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
-        self.pos += n
-        return v
+        return int(self.peek16[p]) >> (16 - n)
 
 
 def _extend(v: int, s: int) -> int:
@@ -140,30 +161,38 @@ def _extend(v: int, s: int) -> int:
 
 def _split_entropy(data: bytes, i: int) -> tuple[list[bytes], int]:
     """Split the scan's entropy-coded bytes into restart segments, removing
-    0xFF00 stuffing; stops at the first non-RST marker (EOI, usually)."""
-    segs: list[bytes] = []
-    cur = bytearray()
+    0xFF00 stuffing; stops at the first non-RST marker (EOI, usually).
+    Vectorized: only 0xFF positions (rare in entropy data) are walked in
+    Python; everything between them is sliced wholesale."""
+    arr = np.frombuffer(data, dtype=np.uint8)
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        m = data[i + 1] if i + 1 < n else 0xD9
+    segs: list[bytes] = []
+    parts: list[np.ndarray] = []
+    start = i
+    end = n
+    for f in (np.flatnonzero(arr[i:] == 0xFF) + i).tolist():
+        if f < start:
+            continue  # inside a span already consumed (stuffed/fill byte)
+        m = data[f + 1] if f + 1 < n else 0xD9
         if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif m == 0xFF:  # fill byte
-            i += 1
+            parts.append(arr[start : f + 1])  # keep the 0xFF, drop the 0x00
+            start = f + 2
+        elif m == 0xFF:  # fill byte before a marker
+            parts.append(arr[start:f])
+            start = f + 1
         elif 0xD0 <= m <= 0xD7:  # RSTn
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:
+            parts.append(arr[start:f])
+            segs.append(np.concatenate(parts).tobytes() if parts else b"")
+            parts = []
+            start = f + 2
+        else:  # EOI or the next real marker — scan data ends here
+            parts.append(arr[start:f])
+            end = f
             break
-    segs.append(bytes(cur))
-    return segs, i
+    else:  # no terminating marker (truncated stream): take the tail
+        parts.append(arr[start:n])
+    segs.append(np.concatenate(parts).tobytes() if parts else b"")
+    return segs, end
 
 
 def decode_jpeg_coefficients(payload: bytes):
@@ -257,13 +286,19 @@ def decode_jpeg_coefficients(payload: bytes):
     mcus_x = -(-frame["width"] // (8 * hmax))
     mcus_y = -(-frame["height"] // (8 * vmax))
 
-    coefs = {}
-    for idx, c in enumerate(comps):
-        coefs[idx] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 8, 8),
-                              dtype=np.int32)
+    # decode into per-component (block, 64) arrays in ZIGZAG order; the
+    # inverse zigzag runs ONCE, vectorized over all blocks, at the end
+    n_mcus = mcus_x * mcus_y
+    zz_all = {idx: np.zeros((mcus_y * c["v"] * mcus_x * c["h"], 64),
+                            dtype=np.int32)
+              for idx, c in enumerate(comps)}
+    # per-scan-position decode context: (component idx, dc table, ac table,
+    # per-MCU block count, h sampling) — hoisted out of the MCU loop
+    ctx = [(ci, huff_dc[s["td"]], huff_ac[s["ta"]],
+            comps[ci]["v"] * comps[ci]["h"], comps[ci]["h"])
+           for s, ci in zip(scan, order)]
 
     segs, _ = _split_entropy(payload, i)
-    n_mcus = mcus_x * mcus_y
     per_seg = restart_interval if restart_interval else n_mcus
     mcu = 0
     blk = np.zeros(64, dtype=np.int32)
@@ -272,36 +307,42 @@ def decode_jpeg_coefficients(payload: bytes):
         pred = [0] * len(comps)  # RSTn resets DC prediction (§F.2.1.3.1)
         for _ in range(min(per_seg, n_mcus - mcu)):
             my, mx = divmod(mcu, mcus_x)
-            for pos, ci in enumerate(order):
+            for ci, dc_t, ac_t, nblk, ch in ctx:
                 c = comps[ci]
-                dc_t = huff_dc[scan[pos]["td"]]
-                ac_t = huff_ac[scan[pos]["ta"]]
-                for b in range(c["v"] * c["h"]):
-                    bv, bh = divmod(b, c["h"])
+                row0 = my * c["v"]
+                bw_ = mcus_x * ch
+                for b in range(nblk):
+                    bv, bh = divmod(b, ch)
                     blk[:] = 0
                     s = dc_t.decode(br)
-                    pred[ci] += _extend(br.receive(s), s)
+                    if s:  # EXTEND inlined (§F.2.2.1)
+                        v = br.receive(s)
+                        pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                     blk[0] = pred[ci]
                     k = 1
                     while k < 64:
                         rs = ac_t.decode(br)
-                        r, s = rs >> 4, rs & 15
+                        s = rs & 15
                         if s == 0:
-                            if r == 15:  # ZRL
+                            if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("AC run past block end")
-                        blk[k] = _extend(br.receive(s), s)
+                        v = br.receive(s)
+                        blk[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
                         k += 1
-                    nat = np.zeros(64, dtype=np.int32)
-                    nat[ZIGZAG] = blk
-                    coefs[ci][my * c["v"] + bv, mx * c["h"] + bh] = nat.reshape(8, 8)
+                    zz_all[ci][(row0 + bv) * bw_ + mx * ch + bh] = blk
             mcu += 1
     if mcu != n_mcus:
         raise ValueError(f"decoded {mcu}/{n_mcus} MCUs")
+    coefs = {}
+    for idx, c in enumerate(comps):
+        nat = np.zeros_like(zz_all[idx])
+        nat[:, ZIGZAG] = zz_all[idx]  # inverse zigzag, all blocks at once
+        coefs[idx] = nat.reshape(mcus_y * c["v"], mcus_x * c["h"], 8, 8)
     frame["qtables"] = qtables
     frame["hmax"], frame["vmax"] = hmax, vmax
     return frame, coefs
