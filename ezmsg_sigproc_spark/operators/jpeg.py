@@ -556,8 +556,9 @@ def synth_jpeg(img: np.ndarray, quant_luma: np.ndarray | None = None,
                quant_chroma: np.ndarray | None = None,
                subsample: str = "444") -> bytes:
     """Encode an RGB (H, W, 3) uint8 image as a baseline YCbCr JPEG with
-    4:4:4 or 4:2:0 sampling (T.871 color transform; 2×2 box-average chroma
-    downsampling for 4:2:0)."""
+    4:4:4, 4:2:2 or 4:2:0 sampling (T.871 color transform; box-average
+    chroma downsampling — 2×1 for 4:2:2, 2×2 for 4:2:0). 4:2:2 exercises
+    the decoder's ASYMMETRIC sampling-factor path (h=2, v=1)."""
     img = np.asarray(img, dtype=np.uint8).astype(np.float64)
     h, w = img.shape[:2]
     r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
@@ -570,24 +571,26 @@ def synth_jpeg(img: np.ndarray, quant_luma: np.ndarray | None = None,
         quant_chroma, dtype=np.int64).reshape(8, 8)
     if subsample == "444":
         sy = (1, 1)
+    elif subsample == "422":
+        sy = (2, 1)
     elif subsample == "420":
         sy = (2, 2)
     else:
-        raise ValueError("subsample must be '444' or '420'")
+        raise ValueError("subsample must be '444', '422' or '420'")
     hmax, vmax = sy
     mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     yp = _pad_plane(y, mcus_y * vmax, mcus_x * hmax)
-    if subsample == "420":
-        # pad chroma to the padded luma extent, then 2×2 box-average down to
-        # the (mcus_y*8, mcus_x*8) chroma grid
+    if subsample == "444":
+        cbp = _pad_plane(cb, mcus_y, mcus_x)
+        crp = _pad_plane(cr, mcus_y, mcus_x)
+    else:
+        # pad chroma to the padded luma extent, then box-average down to the
+        # (mcus_y*8, mcus_x*8) chroma grid (2×1 for 422, 2×2 for 420)
         he, we = mcus_y * vmax * 8, mcus_x * hmax * 8
         cbf = _pad_plane(cb, he // 8, we // 8)
         crf = _pad_plane(cr, he // 8, we // 8)
-        cbp = cbf.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-        crp = crf.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-    else:
-        cbp = _pad_plane(cb, mcus_y, mcus_x)
-        crp = _pad_plane(cr, mcus_y, mcus_x)
+        cbp = cbf.reshape(he // vmax, vmax, we // hmax, hmax).mean(axis=(1, 3))
+        crp = crf.reshape(he // vmax, vmax, we // hmax, hmax).mean(axis=(1, 3))
     zzs = [_plane_coefs(yp, ql), _plane_coefs(cbp, qc), _plane_coefs(crp, qc)]
     comps = [(1, hmax, vmax, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     out = _headers(w, h, comps, [ql, qc], 0, True)

@@ -119,10 +119,11 @@ def test_quant1_near_lossless_roundtrip():
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
 
 
-def test_color_444_and_420():
+def test_color_444_422_and_420():
     img = np.zeros((10, 14, 3), np.uint8)
     img[:] = (120, 64, 200)
-    for sub in ("444", "420"):
+    # 422 pins the decoder's ASYMMETRIC sampling path (h=2, v=1)
+    for sub in ("444", "422", "420"):
         dec = decode_jpeg_pixels(synth_jpeg(img, subsample=sub))
         assert dec.shape == (10, 14, 3)
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1, sub
