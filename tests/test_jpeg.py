@@ -184,3 +184,26 @@ def test_image_features_decodes_jpeg_spark(spark):
     for a, b in zip((out[1].mean_r, out[1].mean_g, out[1].mean_b),
                     (out[2].mean_r, out[2].mean_g, out[2].mean_b)):
         assert abs(a - b) <= 1.0
+
+
+def test_huffman_long_code_fallback_path():
+    """The 8-bit LUT resolves every code the repo's own encoder emits, so
+    the >8-bit MINCODE/MAXCODE fallback would otherwise go untested — real
+    Annex-K streams use codes up to 16 bits. Craft a canonical table with
+    2-bit and 10-bit codes and decode a hand-packed bit stream through it."""
+    from ezmsg_sigproc_spark.operators.jpeg import _BitReader, _Huff
+
+    # canonical assignment: len 2 -> codes 00,01,10 (symbols a,b,c);
+    # len 10 -> codes 1100000000, 1100000001 (symbols d,e)
+    bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0]
+    table = _Huff(bits, bytes([0xA, 0xB, 0xC, 0xD, 0xE]))
+    # stream: 01 (b), 1100000001 (e), 10 (c), 1100000000 (d), 00 (a)
+    s = "01" + "1100000001" + "10" + "1100000000" + "00"
+    s += "1" * (-len(s) % 8)  # 1-pad to a byte boundary like a real encoder
+    br = _BitReader(bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8)))
+    got = [table.decode(br) for _ in range(5)]
+    assert got == [0xB, 0xE, 0xC, 0xD, 0xA]
+    # the LUT rejected the long codes (prefix 1100000000 >> misses) and the
+    # bitwise walk resolved them; short codes resolved via the LUT
+    assert int(table.lut[0b01000000]) >> 8 == 2  # 'b' via LUT at length 2
+    assert int(table.lut[0b11000000]) == -1      # long-code prefix not in LUT
