@@ -156,7 +156,10 @@ def _ca_store_build(spark, sf_dir: str, root: str | None = None):
 
     from .plans.rollup_tiers import RollupStore, rollup_base, rollup_next
 
-    cache_key = f"{id(spark)}:{sf_dir}"
+    # applicationId is stable for the life of a SparkContext and never reused
+    # the way id(spark) addresses are after GC (ADVICE r4): a new session at
+    # a recycled address must not receive a store bound to a stopped one.
+    cache_key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if root is None and cache_key in _CA_STORES:
         return _CA_STORES[cache_key]
     ev = _events(spark, sf_dir).select(

@@ -13,8 +13,14 @@ Decoder (:func:`decode_gif_frames`):
   clear case (table full at 4096, no clear emitted) keeps decoding with
   frozen table, and the cScSc "code == next entry" case is handled;
 - GIF89a graphic-control extensions: per-frame transparency index honored
-  when compositing frames onto the canvas (disposal methods 0/1 —
-  "composite over previous"; 2 — restore background; 3 rejected);
+  when compositing frames onto the canvas. Disposal (§23) is applied with
+  spec timing: frame k's disposal method takes effect AFTER frame k is
+  displayed, before frame k+1 is drawn, and acts only on frame k's
+  (left, top, iw, ih) region — 0/1 leave the region, 2 restores it to the
+  background color, 3 restores it to the canvas as it was before frame k
+  (ADVICE r4: the earlier draft applied a frame's own disposal before
+  drawing it and reset the whole canvas, compositing optimized animations
+  wrongly);
 - animation: every frame is decoded and composited, returning the list of
   (H, W, 3) uint8 canvases — the frame-sampling primitive's real input.
 
@@ -153,12 +159,16 @@ def decode_gif_frames(payload: bytes) -> list["np.ndarray"]:
         gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
         i += 3 * n
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
-    if gct is not None:
-        canvas[:] = gct[bg] if bg < len(gct) else 0
+    bg_color = np.zeros(3, dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        bg_color = gct[bg]
+    canvas[:] = bg_color
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
-    prev_canvas = canvas.copy()
+    # previous frame's pending disposal: (method, left, top, iw, ih,
+    # saved-region-for-method-3) — applied when the NEXT frame arrives
+    pending: tuple | None = None
     n_total = len(payload)
     while i < n_total:
         b = payload[i]
@@ -200,10 +210,17 @@ def decode_gif_frames(payload: bytes) -> list["np.ndarray"]:
             if idx.size < iw * ih:
                 raise ValueError("LZW stream shorter than frame")
             idx = idx[: iw * ih].reshape(ih, iw)
-            if disposal == 2:  # restore to background before drawing
-                canvas = prev_canvas.copy()
-            elif disposal == 3:
-                raise ValueError("disposal method 3 not supported")
+            # §23 timing: the PREVIOUS frame's disposal takes effect now —
+            # after that frame was displayed, before this one is drawn —
+            # and touches only that frame's region (ADVICE r4)
+            if pending is not None:
+                pdisp, pl, pt, pw, ph, saved = pending
+                if pdisp == 2:  # restore region to background color
+                    canvas[pt : pt + ph, pl : pl + pw] = bg_color
+                elif pdisp == 3:  # restore region to pre-frame canvas
+                    canvas[pt : pt + ph, pl : pl + pw] = saved
+            saved = (canvas[top : top + ih, left : left + iw].copy()
+                     if disposal == 3 else None)
             region = canvas[top : top + ih, left : left + iw]
             px = ct[np.minimum(idx, len(ct) - 1)]
             if transparent is not None:
@@ -212,6 +229,7 @@ def decode_gif_frames(payload: bytes) -> list["np.ndarray"]:
             else:
                 region[:] = px
             frames.append(canvas.copy())
+            pending = (disposal, left, top, iw, ih, saved)
             transparent = None
             disposal = 0
         else:

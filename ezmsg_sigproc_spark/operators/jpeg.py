@@ -279,6 +279,16 @@ def decode_jpeg_coefficients(payload: bytes):
         raise ValueError("JPEG missing SOF0/SOS")
 
     comps = frame["components"]
+    if len(scan) != len(comps):
+        # T.81 legally allows several non-interleaved scans (one per
+        # component); this decoder handles the single interleaved scan that
+        # covers every frame component. Decoding only the first partial scan
+        # would silently leave the other components' coefficients at zero
+        # (flat chroma) and misassemble geometry — fail loudly instead,
+        # matching the interlace/progressive posture (ADVICE r4).
+        raise ValueError(
+            "multi-scan baseline JPEG not supported: first SOS covers "
+            f"{len(scan)} of {len(comps)} frame components")
     by_id = {c["id"]: idx for idx, c in enumerate(comps)}
     order = [by_id[s["cs"]] for s in scan]
     hmax = max(c["h"] for c in comps)

@@ -69,6 +69,76 @@ def test_gif_animation_and_transparency_compositing():
     assert frame_sample(stack, 2).shape == (2, 9, 11, 3)
 
 
+def _gif_bytes(w, h, gct, bg, frames):
+    """Hand-assembled GIF89a (no synth_gif involvement beyond lzw_encode,
+    which is pinned independently above): ``frames`` is a list of
+    (idx_2d, left, top, disposal, transparent_or_None)."""
+    import struct
+
+    ct_bits = 8  # 256-entry table
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), bg, 0)
+    out += np.ascontiguousarray(gct, dtype=np.uint8).tobytes()
+    for idx, left, top, disposal, transparent in frames:
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9" + struct.pack(
+            "<BBHBB", 4, packed, 2, transparent or 0, 0)
+        ih, iw = idx.shape
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0)
+        out.append(8)  # LZW min code size
+        lz = lzw_encode(np.ascontiguousarray(idx, np.uint8).tobytes(), 8)
+        for j in range(0, len(lz), 255):
+            blk = lz[j : j + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_disposal_methods_spec_timing():
+    """ADVICE r4: optimized animated GIFs patch partial frames with mixed
+    disposal values. §23 semantics pinned against hand-computed canvases:
+    frame k's disposal acts AFTER frame k is displayed, before frame k+1,
+    and only on frame k's (left, top, iw, ih) region — 2 restores that
+    region to the background color, 3 to the pre-frame-k canvas."""
+    gct = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    bg = 5
+    f1 = np.full((8, 8), 10, np.uint8)               # full frame, disposal 0
+    f2 = np.full((2, 3), 20, np.uint8)               # patch @ (2,1), disposal 2
+    f3 = np.full((3, 2), 30, np.uint8)               # patch @ (5,4), disposal 3
+    f3[1, 0] = 7                                     # transparent hole (idx 7)
+    f4 = np.full((4, 4), 40, np.uint8)               # patch @ (0,0), disposal 0
+    g = _gif_bytes(8, 8, gct, bg, [
+        (f1, 0, 0, 0, None),
+        (f2, 2, 1, 2, None),
+        (f3, 5, 4, 3, 7),
+        (f4, 0, 0, 0, None),
+    ])
+    got = decode_gif_frames(g)
+    assert len(got) == 4
+
+    # independent spec-side compositor, straight-line per frame
+    c1 = np.full((8, 8, 3), 10, np.uint8)
+    np.testing.assert_array_equal(got[0], c1)
+    c2 = c1.copy()
+    c2[1:3, 2:5] = 20                                # draw frame-2 patch
+    np.testing.assert_array_equal(got[1], c2)
+    c3 = c2.copy()
+    c3[1:3, 2:5] = bg                                # frame 2's disposal 2:
+    pre3 = c3.copy()                                 #   ONLY its region → bg
+    c3[4:7, 5:7] = 30                                # draw frame-3 patch...
+    c3[5, 5] = pre3[5, 5]                            # ...transparent hole
+    np.testing.assert_array_equal(got[2], c3)
+    c4 = c3.copy()
+    c4[4:7, 5:7] = pre3[4:7, 5:7]                    # frame 3's disposal 3:
+    c4[0:4, 0:4] = 40                                #   region → pre-frame-3
+    np.testing.assert_array_equal(got[3], c4)
+    # pixels OUTSIDE the newest patch keep accumulated content (the exact
+    # failure mode of whole-canvas disposal): frame 1's 10s still visible
+    assert (got[3][6, 0:4] == [[10] * 3] * 4).all()
+
+
 def test_gif_rejects_garbage_and_interlace():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif_pixels(b"NOTAGIF")

@@ -146,6 +146,28 @@ def test_rejects_progressive_and_garbage():
         decode_jpeg_pixels(b"\x89PNG not a jpeg")
 
 
+def test_rejects_multi_scan_partial_sos():
+    """ADVICE r4: T.81 allows several non-interleaved scans (one per
+    component); decoding only the first would leave the other components'
+    coefficients at zero — silently flat chroma. The decoder must reject a
+    first SOS that does not cover every frame component."""
+    import struct
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    payload = bytearray(synth_jpeg(img))
+    i = payload.index(b"\xff\xda")
+    (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+    body = payload[i + 4 : i + 2 + seg_len]
+    assert body[0] == 3  # interleaved 3-component scan as synthesized
+    # rewrite the SOS header to a single-component scan (ns=1): keep the
+    # first component spec and the trailing Ss/Se/AhAl bytes
+    new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[-3:])
+    new_seg = struct.pack(">H", 2 + len(new_body)) + new_body
+    payload[i + 2 : i + 2 + seg_len] = new_seg
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg_pixels(bytes(payload))
+
+
 def test_zigzag_is_the_standard_order():
     # spot-pin the first and last few entries of the T.81 Figure 5 order
     assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]

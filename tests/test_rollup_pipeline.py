@@ -414,21 +414,36 @@ def test_concurrent_writers_and_read_mid_write(spark, pages, tmp_path):
     store = RollupStore(spark, str(tmp_path / "lake"))
 
     observations = []
+    lineage_checked = 0
     with ThreadPoolExecutor(2) as ex:
         # both writers launched with resume=True against an EMPTY lineage:
         # each sees zero completed buckets, so both attempt every bucket
         f1 = ex.submit(store.write_tier, "1m", r1m, True)
         f2 = ex.submit(store.write_tier, "1m", r1m, True)
         while not (f1.done() and f2.done()):
+            # The load-bearing mid-write invariant (ADVICE r4): a bucket
+            # listed in lineage is ALWAYS fully present on disk. Snapshot
+            # lineage FIRST, then read the tier — anything committed at
+            # snapshot time must appear complete in the later read. A read
+            # failure with non-empty lineage is a real violation, not
+            # startup noise, so only the empty-lineage window may pass.
+            committed_mid = store.completed_buckets("1m")
             try:
                 obs = {
                     r.ts_bucket: r.cnt
                     for r in store.read_tier("1m").groupBy("ts_bucket")
                     .agg(F.count("*").alias("cnt")).collect()
                 }
-                observations.append(obs)
             except Exception:
-                pass  # tier dir not created yet — nothing committed
+                assert not committed_mid, (
+                    "tier unreadable while lineage lists committed buckets")
+                _time.sleep(0.05)
+                continue
+            observations.append(obs)
+            for b in committed_mid:
+                assert obs.get(b) == expected[b], (
+                    f"bucket {b} in lineage but absent/partial on disk")
+            lineage_checked += len(committed_mid)
             _time.sleep(0.05)
         m1, m2 = f1.result(), f2.result()
 
