@@ -83,18 +83,29 @@ def main():
     ).count()
 
     # -- 1. headline operator queries --------------------------------------
+    # Each query runs SUITE_REPEATS times (default 3) and the committed
+    # per-query figure is the MEDIAN (VERDICT r4 item 2: single-run suite
+    # walls drifted ~15 → ~20 s across rounds with no code cause in sight —
+    # medians separate real regressions from host noise; every run is
+    # reported in queries_runs).
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    n_suite = int(os.environ.get("BENCH_SUITE_REPEATS", "3"))
     queries: dict[str, float] = {}
+    queries_runs: dict[str, list[float]] = {}
     bench_fns = {
         "rollup_1h_from_1m": entry_queries.RAW_QUERIES["rollup_1h_chain"],
     }
     for name in HEADLINE:
         fn = bench_fns.get(name) or entry_queries.QUERIES.get(name) \
             or entry_queries.RAW_QUERIES[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        queries[name] = round(time.monotonic() - t0, 3)
+        ts = []
+        for _ in range(n_suite):
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            df.count()
+            ts.append(round(time.monotonic() - t0, 3))
+        queries_runs[name] = ts
+        queries[name] = sorted(ts)[len(ts) // 2]
 
     # continuous-aggregate store, write and read timed SEPARATELY (the
     # round-3 "ca_store_read_2h" composite hid which side regressed):
@@ -103,17 +114,50 @@ def main():
     # (tier routing + ts_bucket partition pruning + partial re-aggregation).
     from ezmsg_sigproc_spark.plans.rollup_tiers import read_resolution
 
-    ca_root = tempfile.mkdtemp(prefix="bench_ca_")
-    try:
+    w_ts, r_ts, ca_phases = [], [], []
+    for _ in range(n_suite):
+        ca_root = tempfile.mkdtemp(prefix="bench_ca_")
+        try:
+            t0 = time.monotonic()
+            store, tmin, tmax = entry_queries._ca_store_build(
+                spark, SF_DIR, root=ca_root)
+            w_ts.append(round(time.monotonic() - t0, 3))
+            ca_phases.append(dict(store.last_write_phases))
+            t0 = time.monotonic()
+            read_resolution(store, 7200, t0=tmin + 4000.0, t1=tmax - 4000.0).agg(
+                F.count("*"), F.sum("sum")).collect()
+            r_ts.append(round(time.monotonic() - t0, 3))
+        finally:
+            shutil.rmtree(ca_root, ignore_errors=True)
+    queries_runs["ca_store_write"], queries_runs["ca_store_read"] = w_ts, r_ts
+    queries["ca_store_write"] = sorted(w_ts)[len(w_ts) // 2]
+    queries["ca_store_read"] = sorted(r_ts)[len(r_ts) // 2]
+
+    # dedup_minhash_lsh phase diagnostic (VERDICT r4 item 2): the query is
+    # one DAG, so attribution needs staged materialization — signature
+    # build (widen → shingle explode → md5 → groupBy-min) timed against a
+    # count, then banding + bucket bound + band self-join from the CACHED
+    # signatures. Diagnostic only; the suite figure above stays the
+    # unstaged single-job wall.
+    from ezmsg_sigproc_spark.operators.dedup import (
+        minhash_lsh_candidates_with_stats,
+        minhash_signatures,
+    )
+
+    docs_d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dd: dict[str, list[float]] = {"signatures": [], "band_join": []}
+    for _ in range(2):
+        sig_d = minhash_signatures(docs_d, "doc_id", "text", 5, 8).cache()
         t0 = time.monotonic()
-        store, tmin, tmax = entry_queries._ca_store_build(spark, SF_DIR, root=ca_root)
-        queries["ca_store_write"] = round(time.monotonic() - t0, 3)
+        sig_d.count()
+        dd["signatures"].append(round(time.monotonic() - t0, 3))
         t0 = time.monotonic()
-        read_resolution(store, 7200, t0=tmin + 4000.0, t1=tmax - 4000.0).agg(
-            F.count("*"), F.sum("sum")).collect()
-        queries["ca_store_read"] = round(time.monotonic() - t0, 3)
-    finally:
-        shutil.rmtree(ca_root, ignore_errors=True)
+        minhash_lsh_candidates_with_stats(
+            docs_d, max_bucket=50, sig=sig_d)[0].count()
+        dd["band_join"].append(round(time.monotonic() - t0, 3))
+        sig_d.unpersist()
+    dedup_phases = {k: min(v) for k, v in dd.items()}
+    dedup_phases["runs"] = dd
 
     # -- 2. tiered rollup + compression on synthetic pages -----------------
     pages_path = "/tmp/bench_pages.parquet"
@@ -284,7 +328,26 @@ def main():
     # calibration (tools/hw_calibration.py): on one box, k-way parallelism
     # lowers per-core clocks/bandwidth, capping even a perfectly-scheduled
     # engine below 4×. engine_efficiency = raw speedup / hw-attainable speedup.
+    #
+    # PRE-REGISTERED PROTOCOL (VERDICT r4 item 1 — fixed in this code before
+    # any run; applies identically to the uniform and skewed probes; no run
+    # is ever discarded):
+    #   1. three interleaved (N, 4N) pairs, order N,4N,N,4N,N,4N, each run
+    #      in a fresh JVM;
+    #   2. per run, each phase is timed `--repeats` times in-process and the
+    #      per-phase minimum taken (warm-repeat floor);
+    #   3. per pair i, efficiency_i = (4N rows/sec) / (4 × N rows/sec) from
+    #      that pair's phase-sum walls — pairing adjacent-in-time runs
+    #      cancels slow host drift;
+    #   4. the committed pass/fail number is the MEDIAN of the three pair
+    #      efficiencies, judged against the ≥0.8 criterion; min/max and
+    #      every per-run phase map are reported alongside.
     here = os.path.dirname(os.path.abspath(__file__))
+    SCALING_PROTOCOL = (
+        "3 interleaved (N,4N) pairs, fresh JVM each; per-run per-phase min "
+        "over in-process repeats; per-pair eff=(4N thr)/(4×N thr); committed "
+        "number = median of the 3 pair efficiencies (spread reported, no run "
+        "discarded); criterion: median >= 0.8")
     # the probe gets a 54× larger input (54× the urls, ~194M rows) than the
     # throughput section: the engine got fast enough this round that smaller
     # probes finish in seconds at 4N cores and the ~0.5 s/job scheduling
@@ -302,47 +365,59 @@ def main():
         generate_pages(s2, n_urls=PAGES_ROWS_URLS * 54, samples_per_url=PAGES_SAMPLES,
                        partitions=CPUS * 3).write.mode("overwrite").parquet(scaling_pages)
         s2.stop()
-    # Interleaved order (N, 4N, N, 4N) so slow drift in host load hits both
-    # levels equally; per level the estimate is the PER-PHASE minimum across
-    # the interleaved invocations (each phase's min is its least-noise cost;
-    # their sum is the job's best-case wall — standard min-of-K benching,
-    # applied per phase so one noisy phase in one run doesn't poison the
-    # level). efficiency_raw = (4N rows/sec) / (4 × N rows/sec) from those
-    # sums is THE pass/fail number against the north rule's ≥0.8 criterion —
-    # no hardware normalization applied. The hw_* calibration rows stay as
-    # context only (per-core clock/bandwidth drop under k-way load on one box).
-    scaling = {}
+    scaling = {"protocol": SCALING_PROTOCOL}
     # worker JVMs get a larger heap than the bench session: the probe caches
     # the 97M-row signal, and a 16g heap shows GC-pause variance (~1 s) in
     # the n8 rollup phase that a 28g heap removes (measured; same at both
     # levels, so it shifts no ratio — it just cuts noise)
     worker_env = {**os.environ, "SPARK_DRIVER_MEM": "28g"}
-    runs: dict[int, list[dict]] = {SCALING_N: [], SCALING_N * 4: []}
-    for cores in (SCALING_N, SCALING_N * 4, SCALING_N, SCALING_N * 4):
-        res = subprocess.run(
-            [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
-             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "2"],
-            capture_output=True, text=True, timeout=1200, env=worker_env,
-        )
-        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-        runs[cores].append(json.loads(line))
+    N_PAIRS = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+
+    def _run_pairs(extra_args: list[str], repeats: int) -> dict[int, list[dict]]:
+        """Protocol step 1-2: N_PAIRS interleaved (N, 4N) pairs."""
+        runs: dict[int, list[dict]] = {SCALING_N: [], SCALING_N * 4: []}
+        order = [c for _ in range(N_PAIRS) for c in (SCALING_N, SCALING_N * 4)]
+        for cores in order:
+            res = subprocess.run(
+                [sys.executable,
+                 os.path.join(here, "tools", "bench_scaling_worker.py"),
+                 "--cores", str(cores), "--pages", scaling_pages,
+                 "--repeats", str(repeats), *extra_args],
+                capture_output=True, text=True, timeout=1800, env=worker_env,
+            )
+            line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+            runs[cores].append(json.loads(line))
+        return runs
+
+    def _pair_summary(runs: dict[int, list[dict]]) -> dict:
+        """Protocol step 3-4: per-pair efficiencies, median-judged."""
+        lo_runs, hi_runs = runs[SCALING_N], runs[SCALING_N * 4]
+        effs = [round((lo["elapsed"] / hi["elapsed"]) / 4.0, 3)
+                for lo, hi in zip(lo_runs, hi_runs)]
+        out = {}
+        for cores, rr in runs.items():
+            phases = {k: min(r["phases"][k] for r in rr) for k in rr[0]["phases"]}
+            elapsed = round(sum(phases.values()), 3)
+            out[f"n{cores}"] = {
+                "cores": cores,
+                "elapsed": elapsed,  # per-phase min across runs (context)
+                "phases": phases,
+                "rows": rr[0]["rows"],
+                "rows_per_sec": round(rr[0]["rows"] / elapsed, 1),
+                "runs_elapsed": [r["elapsed"] for r in rr],
+                "runs_phases": [r["phases"] for r in rr],
+            }
+        out["efficiency_pairs"] = effs
+        out["efficiency_raw"] = sorted(effs)[len(effs) // 2]  # MEDIAN (committed)
+        out["efficiency_spread"] = [min(effs), max(effs)]
+        return out
+
+    runs = _run_pairs([], repeats=2)
+    scaling.update(_pair_summary(runs))
     for cores, rr in runs.items():
-        phases = {k: min(r["phases"][k] for r in rr) for k in rr[0]["phases"]}
-        # headline per level = sum of per-phase minima across the interleaved
-        # invocations (round-2 construction, unchanged); the two-action
-        # combined runs are reported alongside as a pipelining diagnostic
-        elapsed = round(sum(phases.values()), 3)
-        scaling[f"n{cores}"] = {
-            "cores": cores,
-            "elapsed": elapsed,
-            "phases": phases,
-            "rows": rr[0]["rows"],
-            "rows_per_sec": round(rr[0]["rows"] / elapsed, 1),
-            "tiers_out_rows": rr[0]["tiers_out_rows"],
-            "runs_elapsed": [r["elapsed"] for r in rr],
-            "runs_combined": [x for r in rr for x in r.get("combined_runs", [])],
-            "runs_phases": [r["phases"] for r in rr],
-        }
+        scaling[f"n{cores}"]["tiers_out_rows"] = rr[0]["tiers_out_rows"]
+        scaling[f"n{cores}"]["runs_combined"] = [
+            x for r in rr for x in r.get("combined_runs", [])]
     for cores in (SCALING_N, SCALING_N * 4):
         res = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "hw_calibration.py"), str(cores)],
@@ -350,12 +425,8 @@ def main():
         )
         line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
         scaling[f"hw_n{cores}"] = json.loads(line)
-    thr_lo = scaling[f"n{SCALING_N}"]["rows_per_sec"]
-    thr_hi = scaling[f"n{SCALING_N * 4}"]["rows_per_sec"]
     hw_lo = scaling[f"hw_n{SCALING_N}"]["per_core_mpts"]
     hw_hi = scaling[f"hw_n{SCALING_N * 4}"]["per_core_mpts"]
-    raw_speedup = thr_hi / thr_lo
-    scaling["efficiency_raw"] = round(raw_speedup / 4.0, 3)
     scaling["hw_attainable_efficiency"] = round(hw_hi / hw_lo, 3)
     # transparency: the two-action combined job's own ratio. It is floor-lean
     # and therefore fully exposed to the single-box per-core falloff under
@@ -411,42 +482,22 @@ def main():
     scaling["codec"] = codec
 
     # -- 3c. skewed-input scaling probe ------------------------------------
-    # One hot url carries ~40% of rows; the timed job is the
-    # salted_repartition composition (per-(url,salt,bin) partials -> compose
-    # -> EWMA over composed bin means) — the documented hot-domain
-    # mitigation, exercised end-to-end at both parallelism levels
-    # (correctness of the composition is pytest-pinned; this is the SCALING
-    # evidence for it). Interleaved order + per-phase minima, same
-    # construction as the main probe.
-    skew: dict = {}
-    skew_runs: dict[int, list[dict]] = {SCALING_N: [], SCALING_N * 4: []}
-    for cores in (SCALING_N, SCALING_N * 4, SCALING_N, SCALING_N * 4):
-        res = subprocess.run(
-            [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
-             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "3",
-             "--skew-only"],
-            capture_output=True, text=True, timeout=1200, env=worker_env,
-        )
-        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-        skew_runs[cores].append(json.loads(line))
+    # One hot url carries ~40% of rows; the timed job is the engine's
+    # documented hot-domain mitigation end-to-end (heavy-hitter detection →
+    # salt the detected key → per-(url,salt,bin) partials → compose across
+    # salts → EWMA over composed bin means); correctness of the composition
+    # is pytest-pinned, this is the SCALING evidence for it. SAME
+    # pre-registered pair/median protocol as the uniform probe.
+    skew_runs = _run_pairs(["--skew-only"], repeats=2)
+    skew = _pair_summary(skew_runs)
+    skew["protocol"] = SCALING_PROTOCOL
     for cores, rr in skew_runs.items():
-        phases = {k: min(r["phases"][k] for r in rr) for k in rr[0]["phases"]}
-        elapsed = round(sum(phases.values()), 3)
-        skew[f"n{cores}"] = {
-            "cores": cores,
-            "elapsed": elapsed,
-            "phases": phases,
-            "rows": rr[0]["rows"],
+        skew[f"n{cores}"].update({
             "hot_frac": rr[0]["hot_frac"],
             "n_salts": rr[0]["n_salts"],
             "hot_keys_detected": rr[0]["hot_keys_detected"],
             "composed_bins": rr[0]["composed_bins"],
-            "rows_per_sec": round(rr[0]["rows"] / elapsed, 1),
-            "runs_phases": [r["phases"] for r in rr],
-        }
-    skew["efficiency_raw"] = round(
-        skew[f"n{SCALING_N * 4}"]["rows_per_sec"]
-        / (4.0 * skew[f"n{SCALING_N}"]["rows_per_sec"]), 3)
+        })
     scaling["skewed"] = skew
 
     total = round(sum(queries.values()), 3)
@@ -455,6 +506,10 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_runs": queries_runs,
+        "suite_repeats": n_suite,
+        "ca_store_write_phases": ca_phases,
+        "dedup_lsh_phases": dedup_phases,
         "sf": sf,
         "pages_rows": n_pages,
         "rollup": rollup,
@@ -469,7 +524,30 @@ def main():
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
-    print(json.dumps(payload))
+    # LAST stdout line = compact (<2,000 chars) summary so the driver's
+    # truncated capture still parses (VERDICT r4 item 3); the full payload
+    # lives in the committed file above.
+    summary = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": queries,
+        "suite_sec": total,
+        "uniform_eff": scaling.get("efficiency_raw"),
+        "uniform_eff_pairs": scaling.get("efficiency_pairs"),
+        "skewed_eff": scaling["skewed"].get("efficiency_raw"),
+        "skewed_eff_pairs": scaling["skewed"].get("efficiency_pairs"),
+        "protocol": "median of 3 interleaved (N,4N) pair efficiencies; >=0.8",
+        "gorilla_bytes_per_point": gorilla["bytes_per_point"],
+        "gorilla_enc_pts_per_sec": gorilla["points_per_sec"],
+        "image_mb_per_sec": multimodal["image"]["mb_per_sec"],
+        "audio_mb_per_sec": multimodal["audio"]["mb_per_sec"],
+        "full_json": os.path.basename(out_path),
+    }
+    line = json.dumps(summary)
+    assert len(line) < 2000, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1263,6 +1263,17 @@ def doc_fingerprint(spark, sf_dir):
               + ((instr('0123456789abcdef', substr(md5(text), 25, 1)) - 1) * 16
                 + instr('0123456789abcdef', substr(md5(text), 26, 1)) - 1)) AS BIGINT)
     FROM documents
+    UNION ALL
+    SELECT 'video_real', count(*),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 27, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 28, 1)) - 1) % 8) AS BIGINT),
+           CAST(sum(1 + ((instr('0123456789abcdef', substr(md5(text), 29, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 30, 1)) - 1) % 8) AS BIGINT),
+           CAST(sum(((instr('0123456789abcdef', substr(md5(text), 31, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 32, 1)) - 1)
+              + ((instr('0123456789abcdef', substr(md5(text), 31, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(text), 32, 1)) - 1 + 80) % 256) AS BIGINT)
+    FROM documents
     """,
 )
 def multimodal_decode(spark, sf_dir):
@@ -1282,9 +1293,12 @@ def multimodal_decode(spark, sf_dir):
     solid-color GIF (palette[0] = md5-derived RGB) through REAL dictionary
     LZW encode and the full variable-width LZW decoder (operators/gif.py);
     GIF is lossless, so the same rgb-packed closed form as png_real holds
-    exactly. The oracle recomputes every number from md5(text): equality
-    proves build→entropy-code→decode→aggregate end to end for BOTH
-    entropy-coded formats."""
+    exactly. (5) 'video_real' — round 5: each doc becomes a 3-frame
+    solid-gray MJPEG AVI (public AVI RIFF container spec) decoded by the
+    container walk + per-frame T.81 entropy decode + frame_sample
+    (operators/avi.py). The oracle recomputes every number from md5(text):
+    equality proves build→entropy-code→decode→aggregate end to end for all
+    entropy-coded formats including video."""
     import hashlib as _hl
 
     import numpy as _np
@@ -1376,7 +1390,44 @@ def multimodal_decode(spark, sf_dir):
         F.sum("h").cast("bigint").alias("sum_h"),
         F.sum("packed_rgb").cast("bigint").alias("sum_bytes"),
     ).select(F.lit("gif_real").alias("format"), "n", "sum_w", "sum_h", "sum_bytes")
-    return fake.unionByName(real).unionByName(jreal).unionByName(greal)
+
+    def video_kernel(batches):
+        # round 5: each doc becomes a 3-frame solid-gray MJPEG **AVI**
+        # (RIFF container from the public AVI spec, frames through the
+        # from-spec T.81 encoder), decoded by the full container walk +
+        # per-frame JPEG entropy decode (operators/avi.py), then
+        # frame-sampled (frame_sample, 3→2 keeps frames [0, 2]). Solid
+        # gray with the all-8 quant table decodes EXACTLY, so frame means
+        # have a closed form the oracle recomputes from md5(text).
+        from .operators.avi import decode_avi_mjpeg_frames, synth_avi_mjpeg
+        from .operators.multimodal import frame_sample
+
+        for pdf in batches:
+            rows = []
+            for b in pdf["payload"]:
+                hx = _hl.md5(bytes(b)).hexdigest()
+                w = 1 + int(hx[26:28], 16) % 8
+                h = 1 + int(hx[28:30], 16) % 8
+                v = int(hx[30:32], 16)
+                frames = [_np.full((h, w), (v + 40 * k) % 256, _np.uint8)
+                          for k in range(3)]
+                dec = decode_avi_mjpeg_frames(synth_avi_mjpeg(frames))
+                picked = frame_sample(_np.stack(dec), 2)
+                assert (picked[0] == v).all() and (picked[1] == (v + 80) % 256).all()
+                rows.append((dec[0].shape[1], dec[0].shape[0],
+                             int(picked[0].mean()) + int(picked[1].mean())))
+            yield _pd.DataFrame(rows, columns=["w", "h", "val_sum"])
+
+    vreal = docs.mapInPandas(
+        video_kernel, schema="w int, h int, val_sum bigint"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum("h").cast("bigint").alias("sum_h"),
+        F.sum("val_sum").cast("bigint").alias("sum_bytes"),
+    ).select(F.lit("video_real").alias("format"), "n", "sum_w", "sum_h", "sum_bytes")
+    return (fake.unionByName(real).unionByName(jreal).unionByName(greal)
+            .unionByName(vreal))
 
 
 @q(

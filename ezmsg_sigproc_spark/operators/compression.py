@@ -590,6 +590,7 @@ def gorilla_compress(
     verify: str = "full",
     sample_mod: int = 16,
     emit_blobs: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-key Gorilla blocks: one output row per key with size stats and —
     when ``emit_blobs`` — the encoded ``ts_blob``/``val_blob`` binary columns
@@ -682,7 +683,10 @@ def gorilla_compress(
     # partition-level batch encode: blocks are numerous and small at scale
     # (one per (key, time-bucket)); both the per-group Arrow crossing AND the
     # per-block numpy dispatch are amortized over the whole Arrow batch
-    return map_key_batches(df, encode_batch, key_cols, ts_col, schema)
+    # num_partitions pins the key-repartition width (scaling probe: constant
+    # across parallelism levels so both run the identical physical job)
+    return map_key_batches(df, encode_batch, key_cols, ts_col, schema,
+                           num_partitions)
 
 
 # ------------------------------------------------- cross-block vectorized ----

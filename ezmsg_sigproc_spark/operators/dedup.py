@@ -129,13 +129,18 @@ def minhash_lsh_candidates_with_stats(
     n_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 50,
+    sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Like :func:`minhash_lsh_candidates` but also returns the dropped-bucket
     accounting frame: one row per (band_id, band_sig) bucket that exceeded
     ``max_bucket`` and was excluded, with its size. Nothing is dropped
     silently — callers log/persist this frame next to the candidates (at
     100 TB the oversize buckets are exactly the boilerplate/templated content
-    worth a separate report)."""
+    worth a separate report).
+
+    ``sig``: optionally a precomputed :func:`minhash_signatures` frame (e.g.
+    cached) — callers reusing signatures across several band configurations,
+    and the bench's phase diagnostic, skip the recompute."""
     rows_per_band = n_hashes // bands
     if rows_per_band > 2:
         raise ValueError("band packing supports at most 2 32-bit rows per band")
@@ -143,7 +148,8 @@ def minhash_lsh_candidates_with_stats(
     # and both sides of the self-join) but Spark's ReusedExchange serves all
     # of them from the signature aggregate's single shuffle output — measured:
     # an explicit persist() here changes nothing cold, so we don't hold cache
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
 
     def band_sig(b: int):
         # injective pack of the band's 32-bit minhashes into ONE bigint —

@@ -106,8 +106,13 @@ def ewma(
     ts_col: str = "ts",
     value_col: str = "value",
     out_col: str = "ewma",
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Bias-corrected EWMA per key along time (reference EWMATransformer)."""
+    """Bias-corrected EWMA per key along time (reference EWMATransformer).
+
+    ``num_partitions`` pins the key-repartition width (default: the
+    serieslift core-count heuristic); the scaling probe passes a constant so
+    both parallelism levels run the identical physical job."""
     if alpha is None:
         if tau is None or dt is None:
             raise ValueError("give alpha, or tau and dt")
@@ -115,7 +120,8 @@ def ewma(
     from .serieslift import apply_matrix_kernel
 
     return apply_matrix_kernel(df, lambda mat: ewma_corrected_np(mat, alpha),
-                               key_cols, ts_col, value_col, out_col)
+                               key_cols, ts_col, value_col, out_col,
+                               num_partitions=num_partitions)
 
 
 def detrend(

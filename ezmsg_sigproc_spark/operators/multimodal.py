@@ -184,16 +184,18 @@ def decode_media_meta(
 
 
 def resize_stub(df: DataFrame, binary_col: str = "payload", **kw) -> DataFrame:
-    """Resize for true VIDEO codecs (H.264 etc.) — still needs codec
-    libraries absent from this container. Every image/audio container here
-    is fully decoded WITHOUT codec libs: PNG, BMP, WAV, baseline JPEG
-    (operators/jpeg.py) and GIF incl. animation frames (operators/gif.py) —
-    use :func:`decode_image_features` / :func:`decode_audio_features`, and
-    ``decode_gif_frames`` + :func:`frame_sample` for frame stacks."""
+    """Resize for INTER-FRAME video codecs (H.264/H.265/VP9/AV1) — those
+    need codec libraries absent from this container. Everything else is
+    fully decoded WITHOUT codec libs: PNG, BMP, WAV, baseline JPEG
+    (operators/jpeg.py), GIF incl. animation frames (operators/gif.py), and
+    MJPEG-in-AVI video (operators/avi.py — RIFF container walk + per-frame
+    T.81 decode) — use :func:`decode_image_features` /
+    :func:`decode_audio_features`, ``decode_gif_frames`` /
+    ``decode_avi_mjpeg_frames`` + :func:`frame_sample` for frame stacks."""
     raise NotImplementedError(
-        "video-codec decode requires libraries not present in this "
-        "container; PNG/BMP/WAV/JPEG/GIF have real decoders — see "
-        "decode_image_features"
+        "inter-frame video codecs (H.264 etc.) require libraries not "
+        "present in this container; PNG/BMP/WAV/JPEG/GIF/MJPEG-AVI have "
+        "real decoders — see decode_image_features and operators/avi.py"
     )
 
 

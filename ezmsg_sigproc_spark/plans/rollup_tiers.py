@@ -121,6 +121,9 @@ class RollupStore:
         self.spark = spark
         self.root = root
         self.lineage_dir = os.path.join(root, "_lineage")
+        # per-tier phase timings of the most recent write_tier call
+        # (write / footer_stats / commit) — bench telemetry
+        self.last_write_phases: dict[str, dict] = {}
 
     # -- lineage ----------------------------------------------------------
     def completed_buckets(self, tier: str) -> set[int]:
@@ -288,6 +291,7 @@ class RollupStore:
             if stats:
                 self._append_lineage(tier, stats)
         timings["commit"] = round(time.monotonic() - t0, 3)
+        self.last_write_phases[tier] = timings
         shutil.rmtree(staging, ignore_errors=True)
         return {
             "tier": tier,
@@ -398,7 +402,8 @@ def salted_repartition(df: DataFrame, key_col: str, n_salts: int,
 
 
 def heavy_hitter_keys(df: DataFrame, key_col: str, threshold_frac: float = 0.01,
-                      sample_frac: float = 0.001, seed: int = 7) -> list:
+                      sample_frac: float = 0.001, seed: int = 7,
+                      min_count: int = 30) -> list:
     """Detect keys carrying more than ``threshold_frac`` of all rows from a
     Bernoulli sample — the cheap driver-side heavy-hitter scan that feeds
     ``salted_repartition(hot_keys=...)``. At 10^12 rows the sample is ~10^9
@@ -410,7 +415,12 @@ def heavy_hitter_keys(df: DataFrame, key_col: str, threshold_frac: float = 0.01,
     aggregation over one scan of the sample; the driver fetches only the top
     ``1/threshold_frac + 1`` rows by count — the total row necessarily ranks
     first, and no key below rank 1/threshold_frac can clear the threshold —
-    via TakeOrderedAndProject (per-partition top-K, no full sort shuffle)."""
+    via TakeOrderedAndProject (per-partition top-K, no full sort shuffle).
+
+    ``min_count`` is the standard sampling support floor: a key seen fewer
+    than ~30 times in the sample cannot be distinguished from noise, so it
+    is never declared hot (matters only for small inputs / tiny samples —
+    at web scale a real heavy hitter appears millions of times)."""
     k = int(1.0 / threshold_frac) + 1
     rows = (
         df.sample(fraction=sample_frac, seed=seed)
@@ -423,8 +433,8 @@ def heavy_hitter_keys(df: DataFrame, key_col: str, threshold_frac: float = 0.01,
     total = sum(r["_cnt"] for r in rows if r["_gid"] == 1)
     if total == 0:
         return []
-    return [r[key_col] for r in rows
-            if r["_gid"] == 0 and r["_cnt"] >= threshold_frac * total]
+    floor = max(threshold_frac * total, min_count)
+    return [r[key_col] for r in rows if r["_gid"] == 0 and r["_cnt"] >= floor]
 
 
 def run_tiered_rollup(
@@ -432,17 +442,53 @@ def run_tiered_rollup(
     pages: DataFrame,
     store: RollupStore | None = None,
     resume: bool = True,
+    skew_guard: bool = False,
+    n_salts: int = 16,
+    hot_threshold_frac: float = 0.01,
+    hot_sample_frac: float = 0.001,
 ) -> dict:
     """End-to-end: pages → 1m partials → 1h → 1d; optional persisted store.
 
     Returns metrics (rows per tier + lineage stats). When ``store`` is None
     the tiers are computed and counted but not persisted (bench mode).
+
+    ``skew_guard=True`` makes the hot-domain mitigation AUTOMATIC (VERDICT
+    r4 item 8 — at 10^12 web rows skew is the default, not the exception):
+    :func:`heavy_hitter_keys` scans a sample for urls above
+    ``hot_threshold_frac`` of all rows; if any are found, the 1m tier is
+    computed by the salted two-stage aggregation (salt only the detected
+    keys → per-(url, _salt, bin) partials with map-side combine → compose
+    partials across salts), whose output equals :func:`rollup_base`
+    bin-for-bin (decomposable partials — pytest-pinned). With no hot keys
+    the plain path runs; either way the coarser tiers re-aggregate the same
+    1m partials. Metrics record ``hot_keys`` so the decision is auditable.
     """
     sig = pages_signal(pages)
-    r1m = rollup_base(sig, TIERS["1m"]).cache()
+    hot_keys: list = []
+    if skew_guard:
+        # hot_sample_frac: 0.001 suits web scale (~10^9-row sample at 10^12
+        # rows); small inputs should pass a larger fraction — a sample of a
+        # few dozen rows makes every sampled url look hot
+        hot_keys = heavy_hitter_keys(sig, "url", threshold_frac=hot_threshold_frac,
+                                     sample_frac=hot_sample_frac)
+    if hot_keys:
+        per_salt = (
+            salt_column(sig, "url", n_salts=n_salts, hot_keys=hot_keys)
+            .withColumn("bin_m", F.floor(F.col("ts") / TIERS["1m"]).cast("bigint"))
+            .groupBy("url", "_salt", "bin_m")
+            .agg(F.count("value").alias("n"), F.sum("value").alias("sum"),
+                 F.min("value").alias("min"), F.max("value").alias("max"),
+                 F.sum(F.col("value") * F.col("value")).alias("sum_sq"))
+        )
+        r1m = per_salt.groupBy("url", "bin_m").agg(
+            F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+            F.min("min").alias("min"), F.max("max").alias("max"),
+            F.sum("sum_sq").alias("sum_sq")).cache()
+    else:
+        r1m = rollup_base(sig, TIERS["1m"]).cache()
     r1h = rollup_next(r1m, 60).cache()
     r1d = rollup_next(r1h, 24)
-    metrics: dict = {}
+    metrics: dict = {"skew_guard": bool(skew_guard), "hot_keys": hot_keys}
     if store is not None:
         metrics["write_1m"] = store.write_tier("1m", r1m, resume=resume)
         metrics["write_1h"] = store.write_tier("1h", r1h, resume=resume)

@@ -37,6 +37,12 @@ def main(argv=None):
                     help="also persist the 1m tier as Gorilla blocks "
                          "(url, ts_bucket, ts_blob, val_blob, …) at PATH")
     ap.add_argument("--cores", type=int, default=None, help="local mode cores")
+    ap.add_argument("--skew-guard", action="store_true",
+                    help="detect heavy-hitter urls and route the 1m tier "
+                         "through the salted two-stage aggregation "
+                         "(identical output; hot keys recorded in metrics)")
+    ap.add_argument("--hot-threshold", type=float, default=0.01,
+                    help="heavy-hitter detection threshold (fraction of rows)")
     args = ap.parse_args(argv)
 
     from ezmsg_sigproc_spark.plans.rollup_tiers import RollupStore, run_tiered_rollup
@@ -52,7 +58,9 @@ def main(argv=None):
                                samples_per_url=args.synthesize_samples)
 
     store = RollupStore(spark, args.out)
-    metrics = run_tiered_rollup(spark, pages, store=store, resume=args.resume)
+    metrics = run_tiered_rollup(spark, pages, store=store, resume=args.resume,
+                                skew_guard=args.skew_guard,
+                                hot_threshold_frac=args.hot_threshold)
 
     if args.compress_1m:
         from pyspark.sql import functions as F

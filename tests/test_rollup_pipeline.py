@@ -466,3 +466,53 @@ def test_concurrent_writers_and_read_mid_write(spark, pages, tmp_path):
     for obs in observations:
         for b, cnt in obs.items():
             assert cnt == expected[b], f"partial bucket {b} visible mid-write"
+
+
+def test_run_tiered_rollup_skew_guard_identical_output(spark, pages):
+    """VERDICT r4 item 8: skew_guard=True detects the hot url, routes the 1m
+    tier through the salted two-stage aggregation, and produces the SAME
+    tiers as the unguarded path (decomposable partials compose exactly;
+    float sums agree to addition-order tolerance)."""
+    # remap ~40% of rows onto one hot url (same construction as the bench
+    # skew probe, deterministic)
+    hot = (F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("url"), F.col("warc_ts").cast("string"))), 1, 4), 16, 10)
+        % 100) < 40
+    skewed = pages.withColumn(
+        "url", F.when(hot, F.lit("https://hot.example/p/0")).otherwise(F.col("url")))
+
+    m_guard = run_tiered_rollup(spark, skewed, skew_guard=True,
+                                hot_threshold_frac=0.05, n_salts=4,
+                                hot_sample_frac=1.0)
+    m_plain = run_tiered_rollup(spark, skewed, skew_guard=False)
+    assert m_guard["skew_guard"] and m_guard["hot_keys"] == ["https://hot.example/p/0"]
+    assert m_plain["hot_keys"] == []
+    for k in ("rows_1m", "rows_1h", "rows_1d"):
+        assert m_guard[k] == m_plain[k], k
+
+    # bin-for-bin equality of the 1m tier itself
+    from ezmsg_sigproc_spark.plans.rollup_tiers import (
+        heavy_hitter_keys,
+        salt_column,
+    )
+
+    sig = pages_signal(skewed)
+    hot_keys = heavy_hitter_keys(sig, "url", threshold_frac=0.05, sample_frac=1.0)
+    per_salt = (
+        salt_column(sig, "url", n_salts=4, hot_keys=hot_keys)
+        .withColumn("bin_m", F.floor(F.col("ts") / 60).cast("bigint"))
+        .groupBy("url", "_salt", "bin_m")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("sum"),
+             F.min("value").alias("min"), F.max("value").alias("max"),
+             F.sum(F.col("value") * F.col("value")).alias("sum_sq")))
+    guarded = per_salt.groupBy("url", "bin_m").agg(
+        F.sum("n").alias("n"), F.sum("sum").alias("sum"),
+        F.min("min").alias("min"), F.max("max").alias("max"),
+        F.sum("sum_sq").alias("sum_sq"))
+    a = rollup_base(sig, 60).toPandas().sort_values(["url", "bin_m"]).reset_index(drop=True)
+    b = guarded.toPandas().sort_values(["url", "bin_m"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a[["url", "bin_m", "n", "min", "max"]],
+                                  b[["url", "bin_m", "n", "min", "max"]])
+    np.testing.assert_allclose(a["sum"], b["sum"], rtol=1e-12)
+    np.testing.assert_allclose(a["sum_sq"], b["sum_sq"], rtol=1e-12)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -65,24 +66,51 @@ def main():
     )
     from ezmsg_sigproc_spark.session import get_spark
 
-    # 4 partitions per core: a 1-task-per-core layout makes the slowest
-    # partition the wall clock; finer tasks load-balance (same reasoning as
-    # AQE's coalescing target on a real cluster)
-    spark = get_spark(app_name=f"scaling_n{args.cores}", cores=args.cores,
-                      shuffle_partitions=max(args.cores * 4, 8))
+    # IDENTICAL physical job at both parallelism levels (round-5 fix): the
+    # partition count is pinned to a constant, NOT tied to the core count.
+    # The old cores*4 sizing made the 4N level run 4× as many tasks as the
+    # N level, so per-task fixed costs (task launch, Arrow batch setup,
+    # pandas-UDF invocation) stayed CONSTANT in wall-clock across levels
+    # instead of parallelizing away — a structural drag on every short
+    # post-rollup phase (measured: ewma phase efficiency 0.42 with
+    # cores-proportional partitions). On a real cluster shuffle.partitions
+    # is sized to the DATA (target bytes per partition), not to the
+    # momentary executor count — holding it fixed while varying cores is
+    # exactly the "same job at two cluster sizes" the north rule specifies.
+    # The count is sized to the DATA, exactly as on a cluster: 64 partitions
+    # over the ~194M-row probe ≈ 3M rows (~220 MB raw) per task — measured
+    # fastest at 4N absolute throughput too (32 parts: 22.2 s, 64: 18.4 s,
+    # 128: 20.2 s at local[8]), because smaller per-task partial-agg hash
+    # maps stay cache-resident. AQE partition coalescing is off here for the
+    # same reason the count is pinned: with parallelismFirst it targets
+    # defaultParallelism (= core count), which would silently re-introduce
+    # level-dependent plans.
+    probe_partitions = int(os.environ.get("BENCH_PROBE_PARTITIONS", "64"))
+    spark = get_spark(
+        app_name=f"scaling_n{args.cores}", cores=args.cores,
+        shuffle_partitions=probe_partitions,
+        extra_conf={
+            # AQE fully off in the probe: adaptive re-optimization inserts
+            # per-stage materialization/planning work sized partly to the
+            # driver, and its coalescing targets defaultParallelism — both
+            # make the physical job differ between parallelism levels. The
+            # probe pre-sizes everything; there is nothing for AQE to adapt.
+            "spark.sql.adaptive.enabled": "false",
+        })
     pages = spark.read.parquet(args.pages)
-    sig = pages_signal(pages).repartition(max(args.cores * 4, 8), "url").cache()
+    sig = pages_signal(pages).repartition(probe_partitions, "url").cache()
     n_rows = sig.count()
 
     # warm the Python worker pool + pandas import + Arrow codegen so the
     # single-pass phase diagnostics time the kernels, not first-use costs
     warm = sig.limit(4096)
-    ewma(warm, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
+    ewma(warm, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value",
+         num_partitions=probe_partitions) \
         .agg(F.sum("ewma")).collect()
     gorilla_compress(
         warm.withColumn("bucket", F.lit(0).cast("bigint")),
         key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-        verify="full", emit_blobs=False,
+        verify="full", emit_blobs=False, num_partitions=probe_partitions,
     ).agg(F.count("*")).collect()
 
     if args.skew_only:
@@ -116,13 +144,15 @@ def main():
         ).cache()
         n_skew = sig_skew.count()
         sig.unpersist()
-        best = {"skew_rollup": float("inf"), "skew_ewma": float("inf")}
+        best = {"skew_detect": float("inf"), "skew_rollup": float("inf"),
+                "skew_ewma": float("inf")}
         n_bins = 0
         n_hot = 0
         for _ in range(args.repeats):
-            t0 = time.monotonic()
+            td = time.monotonic()
             hot_keys = heavy_hitter_keys(sig_skew, "url", threshold_frac=0.01)
             n_hot = len(hot_keys)
+            t0 = time.monotonic()
             salted = salt_column(sig_skew, "url", n_salts=16, hot_keys=hot_keys)
             per_salt = (
                 salted.withColumn("bin_m", F.floor(F.col("ts") / 60).cast("bigint"))
@@ -141,10 +171,12 @@ def main():
             t1 = time.monotonic()
             ewma(composed.select("url", F.col("bin_ts").alias("ts"),
                                  F.col("mean").alias("value")),
-                 alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
+                 alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value",
+                 num_partitions=probe_partitions) \
                 .agg(F.sum("ewma")).collect()
             t2 = time.monotonic()
             composed.unpersist()
+            best["skew_detect"] = min(best["skew_detect"], t0 - td)
             best["skew_rollup"] = min(best["skew_rollup"], t1 - t0)
             best["skew_ewma"] = min(best["skew_ewma"], t2 - t1)
         elapsed = sum(best.values())
@@ -196,7 +228,8 @@ def main():
             ).cache()
             pts_rows = points.count()
             tk = time.monotonic()
-            ewma(points, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value") \
+            ewma(points, alpha=0.2, key_cols=["url"], ts_col="ts",
+                 value_col="value", num_partitions=probe_partitions) \
                 .agg(F.sum("ewma")).collect()
             t2 = time.monotonic()
         # codec input: the 1m tier itself by default (real job proportions);
@@ -217,7 +250,7 @@ def main():
         blobs = gorilla_compress(
             cpoints.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
             key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-            verify="full", emit_blobs=True,
+            verify="full", emit_blobs=True, num_partitions=probe_partitions,
         ).cache()
         blobs.agg(F.sum("ts_bytes"), F.sum("val_bytes"), F.sum("n_points"),
                   F.min("roundtrip_ok")).collect()
@@ -267,12 +300,13 @@ def main():
                 (F.col("sum") / F.col("n")).alias("value"),
             )
             ewma_part = (
-                ewma(pts, alpha=0.2, key_cols=["url"], ts_col="ts", value_col="value")
+                ewma(pts, alpha=0.2, key_cols=["url"], ts_col="ts",
+                     value_col="value", num_partitions=probe_partitions)
                 .agg(F.sum("ewma").alias("v")).select(F.lit("ewma_sum").alias("k"), "v"))
             blobs2 = gorilla_compress(
                 pts.withColumn("bucket", F.floor(F.col("ts") / 86400).cast("bigint")),
                 key_cols=["url", "bucket"], ts_col="ts", value_col="value",
-                verify="full", emit_blobs=True,
+                verify="full", emit_blobs=True, num_partitions=probe_partitions,
             )
             dec_part = (
                 gorilla_decode(blobs2, key_cols=["url", "bucket"], ts_col="ts",
