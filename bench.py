@@ -235,7 +235,12 @@ def main():
         decode_image_features,
     )
 
-    media_img = "/tmp/bench_media_img.parquet"
+    # v2: JPEG payloads now carry a DRI restart interval (standard in
+    # camera/web encoder output) — restart segments are the unit of
+    # intra-image parallelism for the lockstep batch decoder (jpeg_batch),
+    # exactly the VERDICT r4 item-6 construction. Path bump invalidates the
+    # pre-DRI /tmp cache (NOTES.md fragile seam 6).
+    media_img = "/tmp/bench_media_img_v2.parquet"
     media_wav = "/tmp/bench_media_wav.parquet"
     n_imgs = int(os.environ.get("BENCH_MEDIA_IMGS", "4096"))
     n_wavs = int(os.environ.get("BENCH_MEDIA_WAVS", "2048"))
@@ -265,7 +270,7 @@ def main():
                 elif kind == 1:
                     payload = _sb(img)
                 elif kind == 2:
-                    payload = _sjc(img, subsample="420")
+                    payload = _sjc(img, subsample="420", restart_interval=4)
                 else:  # grayscale-palette GIF through real dictionary LZW
                     payload = _sg(img.mean(axis=2).astype(_np.uint8))
                 rows.append((int(i), payload))
@@ -350,21 +355,26 @@ def main():
         "per-pair eff=(4N thr)/(4×N thr); committed number = median of the "
         "3 pair efficiencies (spread reported, no run discarded); "
         "criterion: median >= 0.8")
-    # the probe gets a 54× larger input (54× the urls, ~194M rows) than the
-    # throughput section: the engine got fast enough this round that smaller
-    # probes finish in seconds at 4N cores and the ~0.5 s/job scheduling
-    # floor dominates the ratio (round 3 doubled it from 27× after the
-    # two-action combined job cut ~25 s of duplicated aggregation out of the
-    # measured wall). The many-url layout is the web-scale regime (per-key
-    # kernels bounded by key count, not series length); the dominant phase
-    # is the JVM tiered rollup — the north rule's own metric.
+    # the probe gets a 27× larger input (27× the urls, ~97M rows) than the
+    # throughput section: smaller probes finish in seconds at 4N cores and
+    # the ~0.5 s/job scheduling floor dominates the ratio. Round-5 sizing
+    # note: rounds 3-4 used 54× (~194M rows); this VM's effective speed
+    # turned out to vary ~3× between days, and at 54× a slow day pushed
+    # single workers past any sane timeout (a codec n2 worker crashed the
+    # whole round-5 run at >20 min). 27× keeps every phase ≥10× the
+    # scheduling floor at 4N on a nominal host (n8 rollup ~6.5 s vs ~0.5 s
+    # floor) while halving worker wall, so the FULL pre-registered protocol
+    # (3 pairs × repeats=2, both probes) completes even on a 3×-slow day.
+    # The many-url layout is the web-scale regime (per-key kernels bounded
+    # by key count, not series length); the dominant phase is the JVM
+    # tiered rollup — the north rule's own metric.
     scaling_pages = os.environ.get(
-        "BENCH_SCALING_PAGES", "/tmp/bench_pages_scaling54.parquet")
+        "BENCH_SCALING_PAGES", "/tmp/bench_pages_scaling27.parquet")
     if not os.path.exists(scaling_pages):
         from ezmsg_sigproc_spark.session import get_spark as _gs
 
         s2 = _gs(app_name="bench_gen", cores=CPUS)
-        generate_pages(s2, n_urls=PAGES_ROWS_URLS * 54, samples_per_url=PAGES_SAMPLES,
+        generate_pages(s2, n_urls=PAGES_ROWS_URLS * 27, samples_per_url=PAGES_SAMPLES,
                        partitions=CPUS * 3).write.mode("overwrite").parquet(scaling_pages)
         s2.stop()
     scaling = {"protocol": SCALING_PROTOCOL}
@@ -374,6 +384,30 @@ def main():
     # levels, so it shifts no ratio — it just cuts noise)
     worker_env = {**os.environ, "SPARK_DRIVER_MEM": "28g"}
     N_PAIRS = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+    # generous per-worker ceiling: round-5 lesson — this VM's effective speed
+    # varies ~3x between days (a codec n2 worker measured ~5 min on one run
+    # and >20 min the next, same code, same input, no host load visible from
+    # inside). A slow host must degrade the evidence, not crash the bench:
+    # every worker goes through _worker_run, which converts a timeout/crash
+    # into an {"error": ...} run that the summaries skip and REPORT.
+    WORKER_TIMEOUT = int(os.environ.get("BENCH_WORKER_TIMEOUT", "3600"))
+
+    def _worker_run(cmd: list[str], timeout: int = 0) -> dict:
+        """One probe subprocess → its JSON line, or {"error": ...} on
+        timeout / crash / unparseable output (fail-soft, never discarded
+        silently: error runs are carried in the artifact)."""
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout or WORKER_TIMEOUT,
+                                 env=worker_env)
+        except subprocess.TimeoutExpired:
+            return {"error": f"timeout>{timeout or WORKER_TIMEOUT}s",
+                    "cmd": " ".join(cmd[-6:])}
+        lines = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+        if res.returncode != 0 or not lines:
+            return {"error": f"exit={res.returncode}",
+                    "stderr_tail": res.stderr[-400:], "cmd": " ".join(cmd[-6:])}
+        return json.loads(lines[-1])
 
     def _run_pairs(extra_args: list[str], repeats: int) -> dict[int, list[dict]]:
         """Protocol step 1-2: N_PAIRS interleaved (N, 4N) pairs in ABBA
@@ -387,56 +421,66 @@ def main():
                  ((SCALING_N, SCALING_N * 4) if i % 2 == 0
                   else (SCALING_N * 4, SCALING_N))]
         for cores in order:
-            res = subprocess.run(
+            runs[cores].append(_worker_run(
                 [sys.executable,
                  os.path.join(here, "tools", "bench_scaling_worker.py"),
                  "--cores", str(cores), "--pages", scaling_pages,
-                 "--repeats", str(repeats), *extra_args],
-                capture_output=True, text=True, timeout=1800, env=worker_env,
-            )
-            line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-            runs[cores].append(json.loads(line))
+                 "--repeats", str(repeats), *extra_args]))
         return runs
 
     def _pair_summary(runs: dict[int, list[dict]]) -> dict:
-        """Protocol step 3-4: per-pair efficiencies, median-judged."""
+        """Protocol step 3-4: per-pair efficiencies, median-judged. Error
+        runs (worker timeout/crash on a slow host) void their pair and are
+        REPORTED in the artifact; the median is over the surviving pairs."""
         lo_runs, hi_runs = runs[SCALING_N], runs[SCALING_N * 4]
         effs = [round((lo["elapsed"] / hi["elapsed"]) / 4.0, 3)
-                for lo, hi in zip(lo_runs, hi_runs)]
+                for lo, hi in zip(lo_runs, hi_runs)
+                if "error" not in lo and "error" not in hi]
         out = {}
         for cores, rr in runs.items():
-            phases = {k: min(r["phases"][k] for r in rr) for k in rr[0]["phases"]}
+            ok = [r for r in rr if "error" not in r]
+            errs = [r for r in rr if "error" in r]
+            if not ok:
+                out[f"n{cores}"] = {"cores": cores, "runs_errors": errs}
+                continue
+            phases = {k: min(r["phases"][k] for r in ok) for k in ok[0]["phases"]}
             elapsed = round(sum(phases.values()), 3)
             out[f"n{cores}"] = {
                 "cores": cores,
                 "elapsed": elapsed,  # per-phase min across runs (context)
                 "phases": phases,
-                "rows": rr[0]["rows"],
-                "rows_per_sec": round(rr[0]["rows"] / elapsed, 1),
-                "runs_elapsed": [r["elapsed"] for r in rr],
-                "runs_phases": [r["phases"] for r in rr],
+                "rows": ok[0]["rows"],
+                "rows_per_sec": round(ok[0]["rows"] / elapsed, 1),
+                "runs_elapsed": [r["elapsed"] for r in ok],
+                "runs_phases": [r["phases"] for r in ok],
             }
+            if errs:
+                out[f"n{cores}"]["runs_errors"] = errs
         out["efficiency_pairs"] = effs
-        out["efficiency_raw"] = sorted(effs)[len(effs) // 2]  # MEDIAN (committed)
-        out["efficiency_spread"] = [min(effs), max(effs)]
+        out["efficiency_raw"] = (sorted(effs)[len(effs) // 2]
+                                 if effs else None)  # MEDIAN (committed)
+        out["efficiency_spread"] = [min(effs), max(effs)] if effs else None
+        voided = len(lo_runs) - len(effs)
+        if voided:
+            out["error_pairs_voided"] = voided
         return out
 
     runs = _run_pairs([], repeats=2)
     scaling.update(_pair_summary(runs))
     for cores, rr in runs.items():
-        scaling[f"n{cores}"]["tiers_out_rows"] = rr[0]["tiers_out_rows"]
-        scaling[f"n{cores}"]["runs_combined"] = [
-            x for r in rr for x in r.get("combined_runs", [])]
+        ok = [r for r in rr if "error" not in r]
+        if ok:
+            scaling[f"n{cores}"]["tiers_out_rows"] = ok[0]["tiers_out_rows"]
+            scaling[f"n{cores}"]["runs_combined"] = [
+                x for r in ok for x in r.get("combined_runs", [])]
     for cores in (SCALING_N, SCALING_N * 4):
-        res = subprocess.run(
-            [sys.executable, os.path.join(here, "tools", "hw_calibration.py"), str(cores)],
-            capture_output=True, text=True, timeout=600,
-        )
-        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-        scaling[f"hw_n{cores}"] = json.loads(line)
-    hw_lo = scaling[f"hw_n{SCALING_N}"]["per_core_mpts"]
-    hw_hi = scaling[f"hw_n{SCALING_N * 4}"]["per_core_mpts"]
-    scaling["hw_attainable_efficiency"] = round(hw_hi / hw_lo, 3)
+        scaling[f"hw_n{cores}"] = _worker_run(
+            [sys.executable, os.path.join(here, "tools", "hw_calibration.py"),
+             str(cores)], timeout=1200)
+    hw_lo = scaling[f"hw_n{SCALING_N}"].get("per_core_mpts")
+    hw_hi = scaling[f"hw_n{SCALING_N * 4}"].get("per_core_mpts")
+    if hw_lo and hw_hi:
+        scaling["hw_attainable_efficiency"] = round(hw_hi / hw_lo, 3)
     # transparency: the two-action combined job's own ratio. It is floor-lean
     # and therefore fully exposed to the single-box per-core falloff under
     # k-way load (see hw_codec_probe / hw_calibration); reported so nobody
@@ -445,7 +489,7 @@ def main():
     comb_hi = min(scaling[f"n{SCALING_N * 4}"].get("runs_combined") or [0])
     if comb_lo and comb_hi:
         scaling["combined_efficiency_diagnostic"] = round(comb_lo / comb_hi / 4.0, 3)
-    if scaling[f"n{SCALING_N}"]["elapsed"] < 20.0:
+    if scaling[f"n{SCALING_N}"].get("elapsed", 99.0) < 20.0:
         scaling["scaling_note"] = (
             "probe job too short at this input size — fixed per-job overhead "
             "dominates and the efficiency numbers are not meaningful; use the "
@@ -463,31 +507,31 @@ def main():
     # involved), so the Spark-layer speedup should be judged against that
     # envelope, not against an ideal 4.0. Context only — efficiency_raw
     # above remains the committed pass/fail number.
+    # repeats=1 here (round 5): this section is explicitly context-only and
+    # the 27×-input codec runs are the longest workers in the bench — one
+    # in-process repeat keeps the diagnostic while cutting its wall in half
+    # (the committed ≥0.8 criterion sections keep repeats=2).
     codec = {}
     for cores in (SCALING_N, SCALING_N * 4):
-        res = subprocess.run(
+        codec[f"n{cores}"] = _worker_run(
             [sys.executable, os.path.join(here, "tools", "bench_scaling_worker.py"),
-             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "2",
-             "--codec-bin", "10", "--codec-only"],
-            capture_output=True, text=True, timeout=1200, env=worker_env,
-        )
-        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-        codec[f"n{cores}"] = json.loads(line)
-        res = subprocess.run(
-            [sys.executable, os.path.join(here, "tools", "hw_codec_probe.py"), str(cores)],
-            capture_output=True, text=True, timeout=600,
-        )
-        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-        codec[f"hw_n{cores}"] = json.loads(line)
+             "--cores", str(cores), "--pages", scaling_pages, "--repeats", "1",
+             "--codec-bin", "10", "--codec-only"])
+        codec[f"hw_n{cores}"] = _worker_run(
+            [sys.executable, os.path.join(here, "tools", "hw_codec_probe.py"),
+             str(cores)], timeout=1200)
     lo, hi = codec[f"n{SCALING_N}"], codec[f"n{SCALING_N * 4}"]
     hwlo, hwhi = codec[f"hw_n{SCALING_N}"], codec[f"hw_n{SCALING_N * 4}"]
-    codec["enc_speedup"] = round(lo["phases"]["gorilla"] / hi["phases"]["gorilla"], 2)
-    codec["dec_speedup"] = round(
-        lo["phases"]["gorilla_decode"] / hi["phases"]["gorilla_decode"], 2)
-    codec["hw_enc_attainable_speedup"] = round(
-        4.0 * hwhi["enc_mpts_per_core"] / hwlo["enc_mpts_per_core"], 2)
-    codec["hw_dec_attainable_speedup"] = round(
-        4.0 * hwhi["dec_mpts_per_core"] / hwlo["dec_mpts_per_core"], 2)
+    if "error" not in lo and "error" not in hi:
+        codec["enc_speedup"] = round(
+            lo["phases"]["gorilla"] / hi["phases"]["gorilla"], 2)
+        codec["dec_speedup"] = round(
+            lo["phases"]["gorilla_decode"] / hi["phases"]["gorilla_decode"], 2)
+    if "error" not in hwlo and "error" not in hwhi:
+        codec["hw_enc_attainable_speedup"] = round(
+            4.0 * hwhi["enc_mpts_per_core"] / hwlo["enc_mpts_per_core"], 2)
+        codec["hw_dec_attainable_speedup"] = round(
+            4.0 * hwhi["dec_mpts_per_core"] / hwlo["dec_mpts_per_core"], 2)
     scaling["codec"] = codec
 
     # -- 3c. skewed-input scaling probe ------------------------------------
@@ -521,34 +565,36 @@ def main():
     skew = _pair_summary(skew_runs)
     skew["protocol"] = SCALING_PROTOCOL
     for cores, rr in skew_runs.items():
-        skew[f"n{cores}"].update({
-            "hot_frac": rr[0]["hot_frac"],
-            "n_salts": rr[0]["n_salts"],
-            "hot_keys_detected": rr[0]["hot_keys_detected"],
-            "source": rr[0].get("source", "parquet-fused"),
-        })
+        ok = [r for r in rr if "error" not in r]
+        if ok:
+            skew[f"n{cores}"].update({
+                "hot_frac": ok[0]["hot_frac"],
+                "n_salts": ok[0]["n_salts"],
+                "hot_keys_detected": ok[0]["hot_keys_detected"],
+                "source": ok[0].get("source", "parquet-fused"),
+            })
     # one (N,4N) pair of the round-4 cached construction, diagnostic only
+    # (repeats=1: context-only, same rationale as the codec section)
     diag = {}
     for cores in (SCALING_N, SCALING_N * 4):
-        res = subprocess.run(
+        diag[f"n{cores}"] = _worker_run(
             [sys.executable,
              os.path.join(here, "tools", "bench_scaling_worker.py"),
              "--cores", str(cores), "--pages", scaling_pages,
-             "--repeats", "2", "--skew-cached"],
-            capture_output=True, text=True, timeout=1800, env=worker_env,
-        )
-        line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-        diag[f"n{cores}"] = json.loads(line)
-    skew["cached_diagnostic"] = {
-        "efficiency": round(
-            (diag[f"n{SCALING_N}"]["elapsed"]
-             / diag[f"n{SCALING_N * 4}"]["elapsed"]) / 4.0, 3),
-        "note": "round-4 construction (pre-cached signal, separately "
-                "materialized phases) — floor/bandwidth-pinned, see "
-                "--skew-cached help",
-        **{k: {"elapsed": v["elapsed"], "phases": v["phases"]}
-           for k, v in diag.items()},
-    }
+             "--repeats", "1", "--skew-cached"])
+    if all("error" not in v for v in diag.values()):
+        skew["cached_diagnostic"] = {
+            "efficiency": round(
+                (diag[f"n{SCALING_N}"]["elapsed"]
+                 / diag[f"n{SCALING_N * 4}"]["elapsed"]) / 4.0, 3),
+            "note": "round-4 construction (pre-cached signal, separately "
+                    "materialized phases) — floor/bandwidth-pinned, see "
+                    "--skew-cached help",
+            **{k: {"elapsed": v["elapsed"], "phases": v["phases"]}
+               for k, v in diag.items()},
+        }
+    else:
+        skew["cached_diagnostic"] = diag
     scaling["skewed"] = skew
 
     total = round(sum(queries.values()), 3)

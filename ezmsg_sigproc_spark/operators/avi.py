@@ -84,13 +84,23 @@ def decode_avi_mjpeg_frames(payload: bytes) -> list["np.ndarray"]:
             f"AVI video stream fourcc {compression!r} is not MJPG — "
             "inter-frame codecs are not supported")
 
-    frames: list[np.ndarray] = []
+    jpegs: list[bytes] = []
     for fourcc, body, size in _chunks(payload, movi[0], movi[1]):
         # stream-data chunk ids are '##dc' (compressed video) / '##db'
         # (uncompressed DIB — not produced by MJPEG, decoded as JPEG only
         # for the dc case)
         if len(fourcc) == 4 and fourcc[2:4] == b"dc" and fourcc[:2].isdigit():
-            frames.append(decode_jpeg_pixels(bytes(payload[body : body + size])))
+            jpegs.append(bytes(payload[body : body + size]))
+    # all frames of one clip decode LOCKSTEP (jpeg_batch) — a video is a
+    # ready-made batch of same-shape JPEGs; a bad frame fails the clip with
+    # the scalar decoder's own exception (outcome parity by construction)
+    from .jpeg_batch import decode_jpeg_pixels_batch
+
+    frames: list[np.ndarray] = []
+    for fr in decode_jpeg_pixels_batch(jpegs):
+        if isinstance(fr, Exception):
+            raise fr
+        frames.append(fr)
     if n_declared is not None and n_declared != len(frames):
         raise ValueError(
             f"avih declares {n_declared} frames, movi carries {len(frames)}")

@@ -120,6 +120,9 @@ class _Huff:
             code <<= 1
         self.dc_lut: list[int] | None = None
         self.ac_lut: list[int] | None = None
+        self.dc_np: np.ndarray | None = None
+        self.ac_np: np.ndarray | None = None
+        self._batch: tuple[np.ndarray, np.ndarray] | None = None
 
     def build_combined(self):
         """Vectorized build of the 16-bit combined tables (both variants —
@@ -159,9 +162,37 @@ class _Huff:
         ac[eob] = (ln[eob] << 20) | (65 << 13) | 2048
         ac[zrl] = (ln[zrl] << 20) | (64 << 13) | 2048
         self.ac_lut = ac.tolist()
+        # numpy copies retained for the LOCKSTEP batch decoder (jpeg_batch):
+        # it re-packs both variants into one shared (adv, ka, val) layout so
+        # a single vectorized gather serves DC and AC lanes alike.
+        self.dc_np = dc.astype(np.int64)
+        self.ac_np = ac
+
+    def batch_luts(self) -> tuple[np.ndarray, np.ndarray]:
+        """Unified-packing tables for jpeg_batch's lockstep rounds — entry
+        ``(adv << 19) | (ka << 12) | (val + 2048)`` (int32, −1 = slow path),
+        where ka is 0 for DC entries and run/64=ZRL/65=EOB for AC. Built
+        lazily from the combined tables and cached on the (content-cached)
+        _Huff object, so the cost amortizes like build_combined's."""
+        if self._batch is None:
+            if self.dc_np is None:
+                self.build_combined()
+            dcb = np.where(
+                self.dc_np >= 0,
+                ((self.dc_np >> 13) << 19) | (self.dc_np & 8191),
+                -1).astype(np.int32)
+            acb = np.where(
+                self.ac_np >= 0,
+                ((self.ac_np >> 20) << 19)
+                | (((self.ac_np >> 13) & 127) << 12)
+                | (self.ac_np & 8191),
+                -1).astype(np.int32)
+            self._batch = (dcb, acb)
+        return self._batch
 
     def decode(self, br: "_BitReader") -> int:
-        e = int(self.lut[br.peek16[br.pos] >> 8])
+        p = br.pos
+        e = int(self.lut[(br.w24[p >> 3] >> (16 - (p & 7))) & 0xFF])
         if e >= 0:
             br.pos += e >> 8
             if br.pos > br.nbits:
@@ -196,22 +227,22 @@ def _huff_cached(bits: list[int], vals: bytes) -> _Huff:
 
 
 class _BitReader:
-    """MSB-first bit reader over one destuffed entropy segment. ``peek16``
-    holds, for every bit position p, the next 16 bits as one uint16 (built
-    with 16 vectorized shifts at construction) — field extraction is then a
-    single shift instead of a per-bit Python loop. ``peek_list`` is the
-    same window as a plain Python list: the hot combined-LUT loop indexes
-    it at ~3× the speed of numpy scalar reads."""
+    """MSB-first bit reader over one destuffed entropy segment. ``w24``
+    holds, per BYTE index j, bytes j..j+2 as one int (``b[j]<<16 |
+    b[j+1]<<8 | b[j+2]``, zero-padded past the end) — the 16-bit window at
+    bit p is ``(w24[p>>3] >> (8-(p&7))) & 0xFFFF``: four int ops instead of
+    a prebuilt per-bit table. Round-5 rewrite (profile-driven): the old
+    per-bit peek array cost ~14 ms/image to build (unpackbits + 16
+    vectorized shifts + a tolist over every BIT position) while the decode
+    loop only ever visits ~10% of bit positions — one peek per SYMBOL, not
+    per bit. w24 is a plain Python list (list indexing runs ~3× faster
+    than numpy scalar reads in the hot loop). The same byte-window layout
+    backs the lockstep batch decoder's shared W array (jpeg_batch)."""
 
     def __init__(self, data: bytes):
-        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).astype(np.uint32)
-        self.nbits = bits.size
-        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint32)])
-        peek = np.zeros(self.nbits + 1, dtype=np.uint32)
-        for k in range(16):
-            peek |= padded[k : self.nbits + 1 + k] << (15 - k)
-        self.peek16 = peek
-        self.peek_list = peek.tolist()
+        self.nbits = len(data) * 8
+        b = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8).astype(np.int64)
+        self.w24 = ((b[:-2] << 16) | (b[1:-1] << 8) | b[2:]).tolist()
         self.pos = 0
 
     def receive(self, n: int) -> int:
@@ -221,7 +252,7 @@ class _BitReader:
         self.pos = p + n
         if self.pos > self.nbits:
             raise ValueError("entropy segment exhausted")
-        return int(self.peek16[p]) >> (16 - n)
+        return ((self.w24[p >> 3] >> (8 - (p & 7))) & 0xFFFF) >> (16 - n)
 
 
 def _extend(v: int, s: int) -> int:
@@ -267,17 +298,12 @@ def _split_entropy(data: bytes, i: int) -> tuple[list[bytes], int]:
     return segs, end
 
 
-def decode_jpeg_coefficients(payload: bytes):
-    """Parse + entropy-decode a baseline JPEG down to its QUANTIZED
-    coefficient blocks (no dequant/IDCT) — the lossless half of the decoder,
-    exposed so tests can pin entropy coding exactly against the encoder's
-    own coefficient output.
-
-    Returns (frame, coefs) where frame is a dict with width/height/
-    components (id, h, v, tq) / qtables, and coefs maps component index →
-    int32 array (blocks_y, blocks_x, 8, 8) in NATURAL (de-zigzagged) order,
-    still quantized.
-    """
+def _parse_headers(payload: bytes):
+    """Marker-segment parse of a baseline JPEG up to (and including) SOS.
+    Returns (frame, huff_dc, huff_ac, restart_interval, scan, i) where i is
+    the byte offset of the entropy-coded data; frame carries qtables.
+    Shared by the scalar decoder and the lockstep batch decoder
+    (jpeg_batch) so acceptance behavior is identical by construction."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     n = len(payload)
@@ -349,6 +375,22 @@ def decode_jpeg_coefficients(payload: bytes):
         i += 2 + seg_len
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    frame["qtables"] = qtables
+    return frame, huff_dc, huff_ac, restart_interval, scan, i
+
+
+def decode_jpeg_coefficients(payload: bytes):
+    """Parse + entropy-decode a baseline JPEG down to its QUANTIZED
+    coefficient blocks (no dequant/IDCT) — the lossless half of the decoder,
+    exposed so tests can pin entropy coding exactly against the encoder's
+    own coefficient output.
+
+    Returns (frame, coefs) where frame is a dict with width/height/
+    components (id, h, v, tq) / qtables, and coefs maps component index →
+    int32 array (blocks_y, blocks_x, 8, 8) in NATURAL (de-zigzagged) order,
+    still quantized.
+    """
+    frame, huff_dc, huff_ac, restart_interval, scan, i = _parse_headers(payload)
 
     comps = frame["components"]
     if len(scan) != len(comps):
@@ -392,7 +434,7 @@ def decode_jpeg_coefficients(payload: bytes):
     # MINCODE/MAXCODE walk unchanged.
     for seg in segs:
         br = _BitReader(seg)
-        peek = br.peek_list
+        w24 = br.w24
         nbits = br.nbits
         pos = 0
         pred = [0] * len(comps)  # RSTn resets DC prediction (§F.2.1.3.1)
@@ -413,7 +455,7 @@ def decode_jpeg_coefficients(payload: bytes):
                     bi = (row0 + bv) * bw_ + mx * ch + bh
                     if pos > nbits:
                         raise ValueError("entropy segment exhausted")
-                    e = dcl[peek[pos]]
+                    e = dcl[(w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF]
                     if e >= 0:
                         pos += e >> 13
                         pred[ci] += (e & 8191) - 2048
@@ -432,7 +474,7 @@ def decode_jpeg_coefficients(payload: bytes):
                     while k < 64:
                         if pos > nbits:
                             raise ValueError("entropy segment exhausted")
-                        e = acl[peek[pos]]
+                        e = acl[(w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF]
                         if e >= 0:
                             pos += e >> 20
                             ka = (e >> 13) & 127
@@ -480,25 +522,22 @@ def decode_jpeg_coefficients(payload: bytes):
         nat = np.zeros_like(zz_all[idx])
         nat[:, ZIGZAG] = zz_all[idx]  # inverse zigzag, all blocks at once
         coefs[idx] = nat.reshape(mcus_y * c["v"], mcus_x * c["h"], 8, 8)
-    frame["qtables"] = qtables
     frame["hmax"], frame["vmax"] = hmax, vmax
     return frame, coefs
 
 
-def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to uint8 pixels: (H, W) for one
-    component, (H, W, 3) RGB for three (YCbCr per T.871)."""
-    frame, coefs = decode_jpeg_coefficients(payload)
+def _pixels_from_px_blocks(frame: dict, px_by_comp: list[np.ndarray]) -> np.ndarray:
+    """Plane assembly + chroma upsample + T.871 color transform, given each
+    component's IDCT output blocks (float64 (by, bx, 8, 8), pre level-shift).
+    Shared by the scalar and lockstep-batch pixel decoders so the lossy half
+    is one code path."""
     w, h = frame["width"], frame["height"]
     hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for idx, c in enumerate(frame["components"]):
-        q = frame["qtables"][c["tq"]]
-        blocks = coefs[idx]
-        by, bx = blocks.shape[:2]
-        px = idct2_blocks((blocks.reshape(-1, 8, 8) * q[None, :, :]).astype(np.float64))
-        plane = (px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
-                 .reshape(by * 8, bx * 8) + 128.0)
+        px = px_by_comp[idx]
+        by, bx = px.shape[:2]
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
         # crop to the component's true size, then replicate up to (H, W)
         ch = -(-h * c["v"] // vmax)
         cw = -(-w * c["h"] // hmax)
@@ -516,6 +555,20 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to uint8 pixels: (H, W) for one
+    component, (H, W, 3) RGB for three (YCbCr per T.871)."""
+    frame, coefs = decode_jpeg_coefficients(payload)
+    px_by_comp = []
+    for idx, c in enumerate(frame["components"]):
+        q = frame["qtables"][c["tq"]]
+        blocks = coefs[idx]
+        by, bx = blocks.shape[:2]
+        px = idct2_blocks((blocks.reshape(-1, 8, 8) * q[None, :, :]).astype(np.float64))
+        px_by_comp.append(px.reshape(by, bx, 8, 8))
+    return _pixels_from_px_blocks(frame, px_by_comp)
 
 
 # ---------------------------------------------------------------- encoder ----
@@ -691,11 +744,14 @@ def synth_jpeg_gray(img: np.ndarray, quant: np.ndarray | None = None,
 
 def synth_jpeg(img: np.ndarray, quant_luma: np.ndarray | None = None,
                quant_chroma: np.ndarray | None = None,
-               subsample: str = "444") -> bytes:
+               subsample: str = "444", restart_interval: int = 0) -> bytes:
     """Encode an RGB (H, W, 3) uint8 image as a baseline YCbCr JPEG with
     4:4:4, 4:2:2 or 4:2:0 sampling (T.871 color transform; box-average
     chroma downsampling — 2×1 for 4:2:2, 2×2 for 4:2:0). 4:2:2 exercises
-    the decoder's ASYMMETRIC sampling-factor path (h=2, v=1)."""
+    the decoder's ASYMMETRIC sampling-factor path (h=2, v=1).
+    ``restart_interval`` (MCUs) emits DRI + RSTn markers with DC-predictor
+    resets per §F.2.1.3.1 — standard in camera/web encoder output, and the
+    unit of intra-image parallelism for the lockstep batch decoder."""
     img = np.asarray(img, dtype=np.uint8).astype(np.float64)
     h, w = img.shape[:2]
     r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
@@ -730,13 +786,20 @@ def synth_jpeg(img: np.ndarray, quant_luma: np.ndarray | None = None,
         crp = crf.reshape(he // vmax, vmax, we // hmax, hmax).mean(axis=(1, 3))
     zzs = [_plane_coefs(yp, ql), _plane_coefs(cbp, qc), _plane_coefs(crp, qc)]
     comps = [(1, hmax, vmax, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    out = _headers(w, h, comps, [ql, qc], 0, True)
+    out = _headers(w, h, comps, [ql, qc], restart_interval, True)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3) \
         + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     bw = _BitWriter()
     preds = [0, 0, 0]
     samp = [(hmax, vmax), (1, 1), (1, 1)]
+    rst = 0
     for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bytes(bw.out) + bytes([0xFF, 0xD0 + (rst & 7)])
+            bw = _BitWriter()
+            rst += 1
+            preds = [0, 0, 0]
         my, mx = divmod(m, mcus_x)
         for ci in range(3):
             chs, cvs = samp[ci]

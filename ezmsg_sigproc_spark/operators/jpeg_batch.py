@@ -1,0 +1,418 @@
+"""Lockstep batch JPEG entropy decoder (round 5, VERDICT r4 item 6).
+
+Decodes MANY baseline-JPEG payloads simultaneously with numpy: every
+(payload, restart-segment) pair becomes one lockstep *stream* (T.81
+§F.2.1.3.1 makes restart segments independent — DC predictors reset at
+RSTn — so a single image with DRI contributes several streams). Each
+vectorized round decodes exactly ONE Huffman symbol for every active
+stream: one gather into a unified code+magnitude LUT (``_Huff.batch_luts``)
+plus mask arithmetic for the DC/AC/ZRL/EOB state transitions. The Python
+interpreter cost per round is therefore amortized over the whole Arrow
+batch instead of being paid per coefficient — the same construction as the
+engine's lockstep Gorilla blob decoder (operators/compression.py), applied
+to T.81 §F.2 DECODE.
+
+Scale rationale: the scalar decoder runs ~1 MB/s/core; a 100 TB image
+corpus would spend ~30k core-hours on entropy decode alone. Lockstep
+decode amortizes the per-symbol interpreter cost across every stream in
+the Arrow batch, and DRI segments keep the round count (= max symbols per
+stream) low even when a batch holds few images.
+
+Parity contract: byte-identical coefficient/pixel output to
+jpeg.decode_jpeg_coefficients / decode_jpeg_pixels (pytest-pinned across
+sampling modes, DRI values, and slow-path-heavy payloads). Any payload the
+batch path cannot decode — corrupt, unsupported, or a stream error — is
+re-run through the SCALAR decoder, whose outcome (result or exception) is
+authoritative, so acceptance behavior is exactly the scalar decoder's.
+
+Reference parity anchor: ezmsg-sigproc has no media decoding; this module
+serves the multimodal ingest path (SURVEY.md §2.9) from the published spec
+(ITU-T T.81 §F.2, T.871) only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .jpeg import (
+    ZIGZAG,
+    _parse_headers,
+    _pixels_from_px_blocks,
+    _split_entropy,
+    decode_jpeg_coefficients,
+    decode_jpeg_pixels,
+    idct2_blocks,
+)
+
+
+class _BatchUnsupported(Exception):
+    """Stream shape the lockstep path does not model (e.g. segment count ≠
+    ceil(MCUs / DRI)) — the payload falls back to the scalar decoder, which
+    either decodes it or raises its own precise error."""
+
+
+def _slow_symbol(huff, W, bb_s: int, pos: int, nbits: int) -> tuple[int, int]:
+    """Spec MINCODE/MAXCODE walk (§F.2.2.3) for the rare codes the 16-bit
+    combined LUT cannot resolve (code_len + magnitude > 16 bits). Scalar,
+    per stream, reading bits through the shared byte-window array W."""
+
+    def bit(p: int) -> int:
+        if p + 1 > nbits:
+            raise ValueError("entropy segment exhausted")
+        # W[j] packs bytes j..j+2 MSB-first: bit r of byte j is W-bit 23-r
+        return (int(W[bb_s + (p >> 3)]) >> (23 - (p & 7))) & 1
+
+    code = bit(pos)
+    pos += 1
+    ln = 1
+    while code > huff.maxcode[ln]:
+        if ln >= 16:
+            raise ValueError("invalid Huffman code")
+        code = (code << 1) | bit(pos)
+        pos += 1
+        ln += 1
+    return huff.vals[huff.valptr[ln] + code - huff.mincode[ln]], pos
+
+
+def _slow_receive(W, bb_s: int, pos: int, nbits: int, n: int) -> tuple[int, int]:
+    if n == 0:
+        return 0, pos
+    if pos + n > nbits:
+        raise ValueError("entropy segment exhausted")
+    w16 = (int(W[bb_s + (pos >> 3)]) >> (8 - (pos & 7))) & 0xFFFF
+    return w16 >> (16 - n), pos + n
+
+
+def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
+    """Batch analog of decode_jpeg_coefficients: returns, per payload,
+    either (frame, coefs) or the Exception the SCALAR decoder raises for it.
+    """
+    n_pay = len(payloads)
+    results: list = [None] * n_pay
+    fallback = [False] * n_pay  # re-run scalar (authoritative) at the end
+
+    # ---- phase A: scalar header parse + geometry + stream construction ----
+    lut_slots: dict[tuple[int, str], int] = {}
+    lut_parts: list[np.ndarray] = []
+
+    def _slot(huff, kind: str) -> int:
+        key = (id(huff), kind)
+        s = lut_slots.get(key)
+        if s is None:
+            s = len(lut_parts)
+            lut_slots[key] = s
+            lut_parts.append(huff.batch_luts()[0 if kind == "dc" else 1])
+        return s * 65536
+
+    ci_parts: list[np.ndarray] = []   # per block entry: component index
+    bi_parts: list[np.ndarray] = []   # per block entry: GLOBAL ZZ row
+    dcb_parts: list[np.ndarray] = []  # per block entry: DC LUT base
+    acb_parts: list[np.ndarray] = []  # per block entry: AC LUT base
+    entry_base = 0
+    zz_rows = 0
+
+    seg_buf: list[bytes] = []
+    seg_off: list[int] = []
+    byte_cursor = 0
+
+    # per-stream construction lists
+    s_bb: list[int] = []
+    s_nbits: list[int] = []
+    s_blk_off: list[int] = []
+    s_nblk: list[int] = []
+    s_pidx: list[int] = []
+    s_huffs: list[tuple] = []  # (dc_huffs_by_ci, ac_huffs_by_ci)
+
+    metas: list = [None] * n_pay  # (frame, comps, shapes, roff per comp)
+
+    for pi, payload in enumerate(payloads):
+        try:
+            frame, huff_dc, huff_ac, ri, scan, i0 = _parse_headers(payload)
+            comps = frame["components"]
+            if len(scan) != len(comps):
+                raise ValueError(
+                    "multi-scan baseline JPEG not supported: first SOS covers "
+                    f"{len(scan)} of {len(comps)} frame components")
+            by_id = {c["id"]: idx for idx, c in enumerate(comps)}
+            order = [by_id[s["cs"]] for s in scan]
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-frame["width"] // (8 * hmax))
+            mcus_y = -(-frame["height"] // (8 * vmax))
+            n_mcus = mcus_x * mcus_y
+            segs, _ = _split_entropy(payload, i0)
+            per_seg = ri if ri else n_mcus
+            if len(segs) != -(-n_mcus // per_seg):
+                raise _BatchUnsupported
+
+            # per-component global ZZ row offsets + LUT bases, scan order
+            roff = {}
+            dcb_by_ci = np.zeros(len(comps), dtype=np.int64)
+            acb_by_ci = np.zeros(len(comps), dtype=np.int64)
+            dc_huffs = [None] * len(comps)
+            ac_huffs = [None] * len(comps)
+            for s_ent, ci in zip(scan, order):
+                c = comps[ci]
+                roff[ci] = zz_rows
+                zz_rows += mcus_y * c["v"] * mcus_x * c["h"]
+                dc_huffs[ci] = huff_dc[s_ent["td"]]
+                ac_huffs[ci] = huff_ac[s_ent["ta"]]
+                dcb_by_ci[ci] = _slot(dc_huffs[ci], "dc")
+                acb_by_ci[ci] = _slot(ac_huffs[ci], "ac")
+
+            # per-MCU block-entry template, broadcast over all MCUs
+            mids = np.arange(n_mcus, dtype=np.int64)
+            my, mx = mids // mcus_x, mids % mcus_x
+            ci_cols, bi_cols = [], []
+            for s_ent, ci in zip(scan, order):
+                c = comps[ci]
+                ch, cv = c["h"], c["v"]
+                bsub = np.arange(ch * cv, dtype=np.int64)
+                bv, bh = bsub // ch, bsub % ch
+                bw_ = mcus_x * ch
+                bi = ((my[:, None] * cv + bv[None, :]) * bw_
+                      + mx[:, None] * ch + bh[None, :]) + roff[ci]
+                bi_cols.append(bi)
+                ci_cols.append(np.full((n_mcus, ch * cv), ci, dtype=np.int64))
+            ci_img = np.concatenate(ci_cols, axis=1).reshape(-1)
+            bi_img = np.concatenate(bi_cols, axis=1).reshape(-1)
+            bpm = ci_img.size // n_mcus
+            ci_parts.append(ci_img)
+            bi_parts.append(bi_img)
+            dcb_parts.append(dcb_by_ci[ci_img])
+            acb_parts.append(acb_by_ci[ci_img])
+
+            for j, seg in enumerate(segs):
+                seg_buf.append(seg)
+                seg_buf.append(b"\x00\x00\x00\x00")
+                seg_off.append(byte_cursor)
+                byte_cursor += len(seg) + 4
+                s_bb.append(seg_off[-1])
+                s_nbits.append(len(seg) * 8)
+                s_blk_off.append(entry_base + j * per_seg * bpm)
+                s_nblk.append(min(per_seg, n_mcus - j * per_seg) * bpm)
+                s_pidx.append(pi)
+                s_huffs.append((dc_huffs, ac_huffs))
+
+            entry_base += ci_img.size
+            metas[pi] = (frame, comps, mcus_x, mcus_y, roff)
+        except Exception:
+            fallback[pi] = True
+            metas[pi] = None
+
+    n_streams = len(s_bb)
+    if n_streams:
+        # global bit source: byte-window array — W[j] holds bytes j..j+2, so
+        # the 16 bits at bit position p are (W[p>>3] >> (8 - (p&7))) & 0xFFFF
+        B = np.frombuffer(b"".join(seg_buf), dtype=np.uint8).astype(np.int64)
+        W = (B[:-2] << 16) | (B[1:-1] << 8) | B[2:]
+        LUTCAT = np.concatenate(lut_parts) if lut_parts else np.empty(0, np.int32)
+        CIg = np.concatenate(ci_parts)
+        BIg = np.concatenate(bi_parts)
+        DCBg = np.concatenate(dcb_parts)
+        ACBg = np.concatenate(acb_parts)
+
+        # compacted per-stream state
+        pos = np.zeros(n_streams, dtype=np.int64)
+        nbits = np.asarray(s_nbits, dtype=np.int64)
+        bb = np.asarray(s_bb, dtype=np.int64)
+        blk = np.zeros(n_streams, dtype=np.int64)
+        nblk = np.asarray(s_nblk, dtype=np.int64)
+        kst = np.zeros(n_streams, dtype=np.int64)
+        blk_off = np.asarray(s_blk_off, dtype=np.int64)
+        pidx = np.asarray(s_pidx, dtype=np.int64)
+        pred = np.zeros((n_streams, 4), dtype=np.int64)
+        huffs = s_huffs
+
+        rows_out: list[np.ndarray] = []
+        cols_out: list[np.ndarray] = []
+        vals_out: list[np.ndarray] = []
+        srows: list[int] = []
+        scols: list[int] = []
+        svals: list[int] = []
+
+        m = n_streams
+        I4 = np.arange(m, dtype=np.int64) * 4
+        predf = pred.reshape(-1)
+        while m:
+            p = pos
+            w = (W[bb + (p >> 3)] >> (8 - (p & 7))) & 0xFFFF
+            bo = blk_off + blk
+            isdc = kst == 0
+            e = LUTCAT[np.where(isdc, DCBg[bo], ACBg[bo]) + w]
+            fast = e >= 0
+            adv = (e >> 19) & 31
+            ka = (e >> 12) & 127
+            val = (e & 4095) - 2048
+            newp = p + adv
+            kc = kst + ka  # DC lanes: ka=0, kst=0 → col 0, exactly right
+
+            dcm = fast & isdc
+            acm = fast & ~isdc
+            coefm = acm & (ka < 64)
+            zrlm = acm & (ka == 64)
+            eobm = acm & (ka == 65)
+            errm = (fast & (newp > nbits)) | (coefm & (kc > 63))
+            okd = dcm & ~errm
+            okc = coefm & ~errm
+
+            # DC predictors (one symbol per stream per round → unique idx)
+            ci = CIg[bo]
+            pix4 = I4 + ci
+            di = pix4[okd]
+            predf[di] += val[okd]
+
+            em = okc | okd
+            if em.any():
+                rows_out.append(BIg[bo[em]])
+                cols_out.append(kc[em])
+                vals_out.append(
+                    np.where(isdc[em], predf[pix4[em]], val[em]))
+
+            kst = np.where(okd, 1,
+                           np.where(okc, kc + 1,
+                                    np.where(zrlm & ~errm, kst + 16, kst)))
+            pos = np.where(fast & ~errm, newp, p)
+            ended = (eobm | (kst >= 64)) & ~errm
+            blk = blk + ended
+            kst = np.where(ended, 0, kst)
+
+            slow = ~fast
+            if slow.any():
+                for s in np.flatnonzero(slow).tolist():
+                    sp = int(pos[s])
+                    sn = int(nbits[s])
+                    sbb = int(bb[s])
+                    sci = int(ci[s])
+                    dch, ach = huffs[s]
+                    try:
+                        if kst[s] == 0:  # DC
+                            sym, sp = _slow_symbol(dch[sci], W, sbb, sp, sn)
+                            if sym:
+                                v, sp = _slow_receive(W, sbb, sp, sn, sym)
+                                predf[s * 4 + sci] += (
+                                    v if v >= (1 << (sym - 1))
+                                    else v - (1 << sym) + 1)
+                            srows.append(int(BIg[bo[s]]))
+                            scols.append(0)
+                            svals.append(int(predf[s * 4 + sci]))
+                            kst[s] = 1
+                        else:  # AC
+                            rs, sp = _slow_symbol(ach[sci], W, sbb, sp, sn)
+                            sz = rs & 15
+                            if sz == 0:
+                                if rs == 0xF0:  # ZRL
+                                    kst[s] += 16
+                                else:  # EOB
+                                    kst[s] = 64
+                            else:
+                                kk = int(kst[s]) + (rs >> 4)
+                                if kk > 63:
+                                    raise ValueError("AC run past block end")
+                                v, sp = _slow_receive(W, sbb, sp, sn, sz)
+                                srows.append(int(BIg[bo[s]]))
+                                scols.append(kk)
+                                svals.append(v if v >= (1 << (sz - 1))
+                                             else v - (1 << sz) + 1)
+                                kst[s] = kk + 1
+                        pos[s] = sp
+                        if kst[s] >= 64:
+                            blk[s] += 1
+                            kst[s] = 0
+                    except ValueError:
+                        errm[s] = True
+
+            if errm.any():
+                for pe in np.unique(pidx[errm]).tolist():
+                    fallback[pe] = True
+
+            done = errm | (blk >= nblk)
+            if done.any():
+                keep = ~done
+                pos, nbits, bb = pos[keep], nbits[keep], bb[keep]
+                blk, nblk, kst = blk[keep], nblk[keep], kst[keep]
+                blk_off, pidx = blk_off[keep], pidx[keep]
+                pred = pred[keep]
+                predf = pred.reshape(-1)
+                huffs = [h for h, kp in zip(huffs, keep.tolist()) if kp]
+                m = pos.size
+                I4 = np.arange(m, dtype=np.int64) * 4
+
+        # ---- scatter + per-payload assembly ----
+        ZZ = np.zeros((zz_rows, 64), dtype=np.int32)
+        rlist = rows_out + ([np.asarray(srows, dtype=np.int64)] if srows else [])
+        clist = cols_out + ([np.asarray(scols, dtype=np.int64)] if scols else [])
+        vlist = vals_out + ([np.asarray(svals, dtype=np.int64)] if svals else [])
+        if rlist:
+            ZZ[np.concatenate(rlist), np.concatenate(clist)] = \
+                np.concatenate(vlist)
+
+        for pi in range(n_pay):
+            if fallback[pi] or metas[pi] is None:
+                continue
+            frame, comps, mcus_x, mcus_y, roff = metas[pi]
+            coefs = {}
+            for idx, c in enumerate(comps):
+                nb = mcus_y * c["v"] * mcus_x * c["h"]
+                zz = ZZ[roff[idx]: roff[idx] + nb]
+                nat = np.zeros_like(zz)
+                nat[:, ZIGZAG] = zz
+                coefs[idx] = nat.reshape(
+                    mcus_y * c["v"], mcus_x * c["h"], 8, 8)
+            frame["hmax"] = max(c["h"] for c in comps)
+            frame["vmax"] = max(c["v"] for c in comps)
+            results[pi] = (frame, coefs)
+
+    # ---- authoritative scalar fallback for anything the batch path
+    # declined or failed: same result or same exception as scalar always ----
+    for pi in range(n_pay):
+        if results[pi] is None:
+            try:
+                results[pi] = decode_jpeg_coefficients(payloads[pi])
+            except Exception as exc:  # noqa: BLE001 — per-payload isolation
+                results[pi] = exc
+    return results
+
+
+def decode_jpeg_pixels_batch(payloads: list[bytes]) -> list:
+    """Batch analog of decode_jpeg_pixels: per payload, a uint8 pixel array
+    or the Exception the scalar decoder raises. The IDCT of every payload's
+    dequantized blocks runs as ONE einsum (batched across the whole Arrow
+    batch), then plane assembly / upsample / color reuse the scalar path."""
+    coef_res = decode_jpeg_coefficients_batch(payloads)
+    blocks_all: list[np.ndarray] = []
+    spans: list = []  # (payload idx, comp idx, by, bx, start, end)
+    cursor = 0
+    for pi, r in enumerate(coef_res):
+        if isinstance(r, Exception):
+            continue
+        frame, coefs = r
+        for idx, c in enumerate(frame["components"]):
+            q = frame["qtables"][c["tq"]]
+            blocks = coefs[idx]
+            by, bx = blocks.shape[:2]
+            blocks_all.append(
+                (blocks.reshape(-1, 8, 8) * q[None, :, :]).astype(np.float64))
+            spans.append((pi, idx, by, bx, cursor, cursor + by * bx))
+            cursor += by * bx
+    px_all = idct2_blocks(np.concatenate(blocks_all)) if blocks_all else None
+
+    out: list = [None] * len(payloads)
+    px_by_payload: dict[int, list] = {}
+    for pi, idx, by, bx, a, b in spans:
+        px_by_payload.setdefault(pi, []).append(
+            px_all[a:b].reshape(by, bx, 8, 8))
+    for pi, r in enumerate(coef_res):
+        if isinstance(r, Exception):
+            out[pi] = r
+            continue
+        frame, _ = r
+        try:
+            out[pi] = _pixels_from_px_blocks(frame, px_by_payload[pi])
+        except Exception:
+            # parity safety net: let the scalar path produce the outcome
+            try:
+                out[pi] = decode_jpeg_pixels(payloads[pi])
+            except Exception as exc:  # noqa: BLE001
+                out[pi] = exc
+    return out

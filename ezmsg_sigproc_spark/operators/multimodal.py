@@ -397,6 +397,23 @@ def decode_image_features(
     th, tw = thumb
 
     from .gif import decode_gif_pixels as _gif
+    from .jpeg_batch import decode_jpeg_pixels_batch
+
+    _NULL_ROW_CORRUPT = ("corrupt", None, None, None, None, None, None, None)
+
+    def _features(fmt: str, img: np.ndarray) -> tuple:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] == 1:
+            rgb = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 2:  # gray+alpha
+            rgb = np.repeat(img[:, :, :1], 3, axis=2)
+        else:
+            rgb = img[:, :, :3]
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        tb = resize_area(rgb, th, tw).tobytes()
+        return (fmt, img.shape[1], img.shape[0], img.shape[2],
+                float(means[0]), float(means[1]), float(means[2]), tb)
 
     def one(b: bytes) -> tuple:
         try:
@@ -411,23 +428,30 @@ def decode_image_features(
             else:
                 return ("unknown", None, None, None, None, None, None, None)
         except Exception:
-            return ("corrupt", None, None, None, None, None, None, None)
-        if img.ndim == 2:
-            img = img[:, :, None]
-        if img.shape[2] == 1:
-            rgb = np.repeat(img, 3, axis=2)
-        elif img.shape[2] == 2:  # gray+alpha
-            rgb = np.repeat(img[:, :, :1], 3, axis=2)
-        else:
-            rgb = img[:, :, :3]
-        means = rgb.reshape(-1, 3).mean(axis=0)
-        tb = resize_area(rgb, th, tw).tobytes()
-        return (fmt, img.shape[1], img.shape[0], img.shape[2],
-                float(means[0]), float(means[1]), float(means[2]), tb)
+            return _NULL_ROW_CORRUPT
+        return _features(fmt, img)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [one(bytes(b)) for b in pdf[binary_col]]
+            payloads = [bytes(b) for b in pdf[binary_col]]
+            # JPEGs decode together through the LOCKSTEP batch decoder
+            # (jpeg_batch): one vectorized entropy decode + one batched
+            # IDCT for every JPEG in the Arrow batch. Outcome parity with
+            # the scalar path is pytest-pinned (corrupt payloads come back
+            # as per-payload exceptions → same "corrupt" row).
+            jpeg_px: dict[int, object] = {}
+            jidx = [i for i, b in enumerate(payloads) if b[:2] == b"\xff\xd8"]
+            if len(jidx) >= 2:
+                decoded = decode_jpeg_pixels_batch([payloads[i] for i in jidx])
+                jpeg_px = dict(zip(jidx, decoded))
+            rows = []
+            for i, b in enumerate(payloads):
+                if i in jpeg_px:
+                    r = jpeg_px[i]
+                    rows.append(_NULL_ROW_CORRUPT if isinstance(r, Exception)
+                                else _features("jpeg", r))
+                else:
+                    rows.append(one(b))
             out = pd.DataFrame(rows, columns=[
                 "format", "width", "height", "channels",
                 "mean_r", "mean_g", "mean_b", "thumb"])

@@ -1,0 +1,160 @@
+"""Lockstep batch JPEG decoder parity (jpeg_batch vs the scalar decoder).
+
+The batch decoder must be BYTE-IDENTICAL to jpeg.decode_jpeg_coefficients /
+decode_jpeg_pixels on every payload it accepts, and must surface the SAME
+exception (message included) for every payload the scalar decoder rejects.
+No Spark needed — these pin the numpy kernel itself.
+"""
+
+import numpy as np
+import pytest
+
+from ezmsg_sigproc_spark.operators.jpeg import (
+    decode_jpeg_coefficients,
+    decode_jpeg_pixels,
+    synth_jpeg,
+    synth_jpeg_gray,
+)
+from ezmsg_sigproc_spark.operators.jpeg_batch import (
+    decode_jpeg_coefficients_batch,
+    decode_jpeg_pixels_batch,
+)
+
+
+def _imgs(seed: int, n: int, hi: int = 120):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        h = 24 + int(rng.integers(0, hi))
+        w = 24 + int(rng.integers(0, hi))
+        grad = np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256
+        img = ((grad[:, :, None] + rng.integers(0, 48, (h, w, 3))) % 256
+               ).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+def _assert_coef_parity(payloads):
+    got = decode_jpeg_coefficients_batch(payloads)
+    for pay, r in zip(payloads, got):
+        frame_s, coefs_s = decode_jpeg_coefficients(pay)
+        assert not isinstance(r, Exception), r
+        frame_b, coefs_b = r
+        assert frame_b["width"] == frame_s["width"]
+        assert frame_b["height"] == frame_s["height"]
+        assert set(coefs_b) == set(coefs_s)
+        for idx in coefs_s:
+            np.testing.assert_array_equal(coefs_b[idx], coefs_s[idx])
+
+
+def _assert_pixel_parity(payloads):
+    got = decode_jpeg_pixels_batch(payloads)
+    for pay, r in zip(payloads, got):
+        assert not isinstance(r, Exception), r
+        np.testing.assert_array_equal(r, decode_jpeg_pixels(pay))
+
+
+@pytest.mark.parametrize("subsample", ["444", "422", "420"])
+def test_batch_coef_parity_color(subsample):
+    payloads = [synth_jpeg(img, subsample=subsample)
+                for img in _imgs(seed=hash(subsample) % 1000, n=6)]
+    _assert_coef_parity(payloads)
+    _assert_pixel_parity(payloads)
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_batch_parity_restart_intervals_gray(ri):
+    payloads = [synth_jpeg_gray(img.mean(axis=2).astype(np.uint8),
+                                restart_interval=ri)
+                for img in _imgs(seed=ri, n=5)]
+    _assert_coef_parity(payloads)
+    _assert_pixel_parity(payloads)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_batch_parity_restart_intervals_color(ri):
+    payloads = [synth_jpeg(img, subsample="420", restart_interval=ri)
+                for img in _imgs(seed=100 + ri, n=5)]
+    _assert_coef_parity(payloads)
+    _assert_pixel_parity(payloads)
+
+
+def test_batch_parity_slow_path_large_coefficients():
+    """quant=1 + high-variance noise → AC magnitudes ≥ 256 → size ≥ 9 →
+    code+size > 16 bits with the encoder's 8-bit AC codes — every block
+    exercises the MINCODE slow path in both decoders."""
+    rng = np.random.default_rng(42)
+    q1 = np.ones((8, 8), dtype=np.int64)
+    payloads = []
+    for _ in range(4):
+        img = rng.integers(0, 256, (48, 56, 3)).astype(np.uint8)
+        payloads.append(synth_jpeg(img, quant_luma=q1, quant_chroma=q1,
+                                   subsample="444"))
+        g = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+        payloads.append(synth_jpeg_gray(g, quant=q1, restart_interval=2))
+    _assert_coef_parity(payloads)
+    _assert_pixel_parity(payloads)
+
+
+def test_batch_mixed_shapes_and_modes_one_call():
+    imgs = _imgs(seed=7, n=8, hi=90)
+    payloads = [
+        synth_jpeg(imgs[0], subsample="420"),
+        synth_jpeg_gray(imgs[1].mean(axis=2).astype(np.uint8)),
+        synth_jpeg(imgs[2], subsample="422", restart_interval=3),
+        synth_jpeg(imgs[3], subsample="444"),
+        synth_jpeg_gray(imgs[4].mean(axis=2).astype(np.uint8),
+                        restart_interval=1),
+        synth_jpeg(imgs[5], subsample="420", restart_interval=2),
+        synth_jpeg(imgs[6], subsample="444", restart_interval=5),
+        synth_jpeg_gray(imgs[7].mean(axis=2).astype(np.uint8),
+                        restart_interval=4),
+    ]
+    _assert_coef_parity(payloads)
+    _assert_pixel_parity(payloads)
+
+
+def test_batch_error_parity_mixed_corrupt():
+    """Corrupt / unsupported payloads inside a batch yield the SAME
+    exception type+message the scalar decoder raises, without disturbing
+    the good payloads around them."""
+    imgs = _imgs(seed=9, n=3)
+    ok = synth_jpeg(imgs[0], subsample="420", restart_interval=2)
+    truncated = ok[: len(ok) // 2]
+    not_jpeg = b"\x00\x01not a jpeg"
+    # progressive marker (SOF2) rejection
+    sof2 = bytearray(synth_jpeg_gray(imgs[1].mean(axis=2).astype(np.uint8)))
+    sof2[sof2.index(b"\xff\xc0") + 1] = 0xC2
+    batch = [ok, truncated, not_jpeg, bytes(sof2),
+             synth_jpeg(imgs[2], subsample="444")]
+    got = decode_jpeg_pixels_batch(batch)
+    for pay, r in zip(batch, got):
+        try:
+            expect = decode_jpeg_pixels(pay)
+        except Exception as exc:  # noqa: BLE001
+            assert isinstance(r, Exception), (pay[:8], r)
+            assert type(r) is type(exc)
+            assert str(r) == str(exc)
+            continue
+        assert not isinstance(r, Exception), r
+        np.testing.assert_array_equal(r, expect)
+
+
+def test_batch_solid_frames_exact():
+    """q00=8 solid frames decode EXACTLY (the closed-form oracle used by
+    the multimodal queries) — through the batch path too."""
+    vals = [0, 17, 128, 255]
+    payloads = [synth_jpeg_gray(np.full((32, 32), v, dtype=np.uint8),
+                                restart_interval=2)
+                for v in vals]
+    got = decode_jpeg_pixels_batch(payloads)
+    for v, r in zip(vals, got):
+        np.testing.assert_array_equal(r, np.full((32, 32), v, dtype=np.uint8))
+
+
+def test_batch_empty_and_singleton():
+    assert decode_jpeg_pixels_batch([]) == []
+    img = _imgs(seed=3, n=1)[0]
+    pay = synth_jpeg(img, subsample="420")
+    (r,) = decode_jpeg_pixels_batch([pay])
+    np.testing.assert_array_equal(r, decode_jpeg_pixels(pay))

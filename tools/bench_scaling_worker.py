@@ -92,7 +92,8 @@ def main():
     # momentary executor count — holding it fixed while varying cores is
     # exactly the "same job at two cluster sizes" the north rule specifies.
     # The count is sized to the DATA, exactly as on a cluster: 64 partitions
-    # over the ~194M-row probe ≈ 3M rows (~220 MB raw) per task — measured
+    # over the probe input ≈ 1.5-3M rows (~110-220 MB raw) per task at the
+    # round-5 27× / round-4 54× sizes — measured
     # fastest at 4N absolute throughput too (32 parts: 22.2 s, 64: 18.4 s,
     # 128: 20.2 s at local[8]), because smaller per-task partial-agg hash
     # maps stay cache-resident. AQE partition coalescing is off here for the
