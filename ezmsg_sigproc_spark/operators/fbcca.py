@@ -25,22 +25,50 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def _orth(a: np.ndarray) -> np.ndarray:
+    """Rank-revealing orthonormal basis of the centered column space.
+
+    Plain ``np.linalg.qr`` on a rank-deficient matrix returns ARBITRARY
+    basis vectors for the null directions (LAPACK-build-dependent), which
+    made rank-deficient CCA scores non-deterministic across environments.
+    SVD truncated at the standard rank tolerance keeps only the true column
+    space; canonical correlations depend only on that subspace, so the
+    resulting score is well-defined regardless of LAPACK build."""
+    a = a - a.mean(axis=0, keepdims=True)
+    u, s, _ = np.linalg.svd(a, full_matrices=False)
+    if s.size == 0 or s[0] == 0.0:
+        return u[:, :0]
+    tol = s[0] * max(a.shape) * np.finfo(np.float64).eps
+    return u[:, : int((s > tol).sum())]
+
+
 def cca_max_corr(x: np.ndarray, y: np.ndarray) -> float:
     """Largest canonical correlation between column spaces of x and y."""
-    x = x - x.mean(axis=0, keepdims=True)
-    y = y - y.mean(axis=0, keepdims=True)
-    qx, _ = np.linalg.qr(x)
-    qy, _ = np.linalg.qr(y)
+    qx = _orth(x)
+    qy = _orth(y)
+    if qx.shape[1] == 0 or qy.shape[1] == 0:
+        return 0.0
     s = np.linalg.svd(qx.T @ qy, compute_uv=False)
     return float(np.clip(s[0], 0.0, 1.0))
 
 
 def design_matrix(n: int, fs: float, freq: float, harmonics: int) -> np.ndarray:
     """Sin/cos reference set at the fundamental + ``harmonics`` harmonics
-    (reference fbcca.py 'design' matrix, harmonics=5 default)."""
+    (reference fbcca.py 'design' matrix, harmonics=5 default).
+
+    Harmonic pairs at or above Nyquist (h·freq ≥ fs/2) are DROPPED: a
+    sampled sinusoid above Nyquist aliases exactly onto a lower frequency
+    (e.g. 0.6 cyc/sample ≡ −0.4), duplicating (negated) lower-harmonic
+    columns and making the design matrix rank-deficient — the canonical
+    correlation against such a matrix is ill-defined. The fundamental pair
+    is always kept so the design is never empty; ``_orth``'s rank
+    truncation handles any residual degeneracy (e.g. sin at exactly
+    Nyquist is the zero column)."""
     t = np.arange(n) / fs
     cols = []
     for h in range(1, harmonics + 2):
+        if h > 1 and h * freq >= fs / 2.0:
+            break
         cols.append(np.sin(2 * np.pi * freq * h * t))
         cols.append(np.cos(2 * np.pi * freq * h * t))
     return np.stack(cols, axis=1)

@@ -133,6 +133,14 @@ def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
                 raise ValueError(
                     "multi-scan baseline JPEG not supported: first SOS covers "
                     f"{len(scan)} of {len(comps)} frame components")
+            if len(comps) > 4:
+                # The lockstep state packs 4 DC-predictor slots per stream
+                # (pred/pix4 stride below); a ≥5-component SOF0 would index
+                # past them — corrupting a NEIGHBORING stream's predictor or
+                # killing the whole Arrow batch. Exotic but legal per T.81
+                # (Nf ≤ 255); route to the scalar per-payload decoder.
+                raise _BatchUnsupported(
+                    f"{len(comps)} components > 4 predictor slots")
             by_id = {c["id"]: idx for idx, c in enumerate(comps)}
             order = [by_id[s["cs"]] for s in scan]
             hmax = max(c["h"] for c in comps)
@@ -374,11 +382,69 @@ def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
     return results
 
 
+# Cap on the estimated float64 dequantized-block footprint materialized by
+# one lockstep sub-batch (~12-16 B/px all-in). Without it a 10k-row Arrow
+# batch of megapixel JPEGs would concatenate tens of GB of blocks into one
+# einsum and OOM the executor; the scalar path only ever held one image.
+_BATCH_BLOCK_BUDGET_BYTES = 128 << 20
+
+
+def _est_decoded_bytes(payload: bytes) -> int:
+    """Light SOF0 scan → ~8 B per dequantized coefficient (float64), i.e.
+    8 × W×H per component (upper bound incl. MCU padding). Fallback for
+    unparseable headers: a generous multiple of the compressed size (such
+    payloads end up as per-payload Exceptions anyway)."""
+    n = len(payload)
+    i = 2
+    while i + 4 <= n and payload[i] == 0xFF:
+        m = payload[i + 1]
+        if m == 0xC0:
+            h = int.from_bytes(payload[i + 5:i + 7], "big")
+            w = int.from_bytes(payload[i + 7:i + 9], "big")
+            nf = payload[i + 9] if i + 9 < n else 3
+            return 8 * h * w * max(nf, 1) + 4096
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:  # standalone markers
+            i += 2
+            continue
+        if m == 0xDA:  # SOS before SOF — give up scanning
+            break
+        i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
+    return 16 * n
+
+
 def decode_jpeg_pixels_batch(payloads: list[bytes]) -> list:
     """Batch analog of decode_jpeg_pixels: per payload, a uint8 pixel array
-    or the Exception the scalar decoder raises. The IDCT of every payload's
-    dequantized blocks runs as ONE einsum (batched across the whole Arrow
-    batch), then plane assembly / upsample / color reuse the scalar path."""
+    or the Exception the scalar decoder raises. Payloads are split into
+    sub-batches capped at ``_BATCH_BLOCK_BUDGET_BYTES`` of estimated decoded
+    blocks so peak memory is bounded regardless of Arrow batch size; within
+    a sub-batch the IDCT of every payload's dequantized blocks runs as ONE
+    batched einsum."""
+    out: list = [None] * len(payloads)
+    chunk: list[bytes] = []
+    chunk_idx: list[int] = []
+    acc = 0
+
+    def flush() -> None:
+        nonlocal chunk, chunk_idx, acc
+        if chunk:
+            for j, r in zip(chunk_idx, _decode_pixels_chunk(chunk)):
+                out[j] = r
+        chunk, chunk_idx, acc = [], [], 0
+
+    for i, p in enumerate(payloads):
+        est = _est_decoded_bytes(p)
+        if chunk and acc + est > _BATCH_BLOCK_BUDGET_BYTES:
+            flush()
+        chunk.append(p)
+        chunk_idx.append(i)
+        acc += est
+    flush()
+    return out
+
+
+def _decode_pixels_chunk(payloads: list[bytes]) -> list:
+    """One bounded sub-batch: coefficient pass + single einsum IDCT, then
+    plane assembly / upsample / color reuse the scalar path."""
     coef_res = decode_jpeg_coefficients_batch(payloads)
     blocks_all: list[np.ndarray] = []
     spans: list = []  # (payload idx, comp idx, by, bx, start, end)

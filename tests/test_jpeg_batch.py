@@ -57,7 +57,7 @@ def _assert_pixel_parity(payloads):
 @pytest.mark.parametrize("subsample", ["444", "422", "420"])
 def test_batch_coef_parity_color(subsample):
     payloads = [synth_jpeg(img, subsample=subsample)
-                for img in _imgs(seed=hash(subsample) % 1000, n=6)]
+                for img in _imgs(seed=int(subsample), n=6)]
     _assert_coef_parity(payloads)
     _assert_pixel_parity(payloads)
 
@@ -158,3 +158,66 @@ def test_batch_empty_and_singleton():
     pay = synth_jpeg(img, subsample="420")
     (r,) = decode_jpeg_pixels_batch([pay])
     np.testing.assert_array_equal(r, decode_jpeg_pixels(pay))
+
+
+def test_batch_declines_gt4_components(monkeypatch):
+    """A ≥5-component SOF0 (legal per T.81, Nf ≤ 255) must route to the
+    scalar fallback, NOT index past the 4-slot lockstep DC-predictor state
+    or corrupt a neighboring stream's predictor (ADVICE r5 #1). Patch the
+    batch path's header parse to claim 5 components for payload 0; the
+    scalar fallback (unpatched) stays authoritative and neighbors keep
+    exact parity."""
+    import ezmsg_sigproc_spark.operators.jpeg_batch as jb
+
+    payloads = [synth_jpeg(img) for img in _imgs(seed=11, n=3)]
+    real_parse = jb._parse_headers
+
+    def lying_parse(payload):
+        frame, huff_dc, huff_ac, ri, scan, i0 = real_parse(payload)
+        if payload is payloads[0]:
+            frame = dict(frame)
+            comps = [dict(c) for c in frame["components"]]
+            for extra_id in (104, 105):
+                comps.append(dict(comps[0], id=extra_id))
+            frame["components"] = comps
+            scan = list(scan) + [dict(scan[0], cs=104), dict(scan[0], cs=105)]
+        return frame, huff_dc, huff_ac, ri, scan, i0
+
+    monkeypatch.setattr(jb, "_parse_headers", lying_parse)
+    got = jb.decode_jpeg_coefficients_batch(payloads)
+    for pay, r in zip(payloads, got):
+        assert not isinstance(r, Exception), r
+        frame_s, coefs_s = decode_jpeg_coefficients(pay)
+        for idx in coefs_s:
+            np.testing.assert_array_equal(r[1][idx], coefs_s[idx])
+
+
+def test_batch_pixels_chunk_budget_parity(monkeypatch):
+    """Sub-batch chunking by decoded-bytes budget (ADVICE r5 #2) must be
+    invisible: budget=1 (every payload its own chunk) decodes identically
+    to one whole-batch call, including an invalid payload's exception."""
+    import ezmsg_sigproc_spark.operators.jpeg_batch as jb
+
+    payloads = [synth_jpeg(img, subsample=s)
+                for img, s in zip(_imgs(seed=13, n=4), ["444", "420", "422", "444"])]
+    payloads.insert(2, b"\xff\xd8not a jpeg")
+    whole = jb.decode_jpeg_pixels_batch(payloads)
+    monkeypatch.setattr(jb, "_BATCH_BLOCK_BUDGET_BYTES", 1)
+    chunked = jb.decode_jpeg_pixels_batch(payloads)
+    assert len(whole) == len(chunked) == len(payloads)
+    for w, c in zip(whole, chunked):
+        if isinstance(w, Exception):
+            assert type(c) is type(w) and str(c) == str(w)
+        else:
+            np.testing.assert_array_equal(w, c)
+
+
+def test_est_decoded_bytes_uses_sof_dims():
+    img = _imgs(seed=17, n=1)[0]
+    pay = synth_jpeg(img)
+    h, w = img.shape[:2]
+    from ezmsg_sigproc_spark.operators.jpeg_batch import _est_decoded_bytes
+    assert _est_decoded_bytes(pay) == 8 * h * w * 3 + 4096
+    # unparseable header -> compressed-size fallback
+    junk = b"\x00" * 100
+    assert _est_decoded_bytes(junk) == 16 * len(junk)

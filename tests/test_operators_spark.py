@@ -271,6 +271,40 @@ def test_fbcca_detects_injected_tone(spark):
     assert (best["target_freq"] == 0.1).all()
 
 
+def test_fbcca_aliased_harmonic_design_is_full_rank_and_deterministic():
+    """Regression for the round-5 CORRECTNESS failure: at freq=0.2/fs=1 with
+    harmonics=2 the h=3 harmonic (0.6 cyc/sample) aliases exactly onto
+    −(h=2) (−0.4), making the naive design matrix rank 4 of 6 — and plain
+    QR's null-space columns made the CCA score LAPACK-build-dependent.
+    The kernel must (a) drop ≥-Nyquist harmonic pairs and (b) use a
+    rank-truncated orthonormal basis so the score is well-defined."""
+    from ezmsg_sigproc_spark.operators.fbcca import (
+        cca_max_corr,
+        design_matrix,
+        fbcca_scores_np,
+    )
+
+    d = design_matrix(64, 1.0, 0.2, 2)
+    assert d.shape == (64, 4)  # h=3 pair dropped (0.6 >= Nyquist 0.5)
+    assert np.linalg.matrix_rank(d - d.mean(axis=0)) == 4
+
+    # Exactly at Nyquist: h=2 pair dropped too (sin at fs/2 is all-zeros).
+    assert design_matrix(64, 1.0, 0.25, 2).shape == (64, 2)
+
+    # Even a deliberately rank-deficient y must give a well-defined score:
+    # duplicate-negated columns span the same subspace as the clean design.
+    rng = np.random.default_rng(7)
+    w = (rng.standard_normal(64) + 3 * np.sin(2 * np.pi * 0.1 * np.arange(64)))[:, None]
+    clean = design_matrix(64, 1.0, 0.2, 1)  # h in {1,2}, 4 cols, full rank
+    degenerate = np.concatenate([clean, -clean[:, [0, 1]]], axis=1)  # rank 4 of 6
+    assert cca_max_corr(w, degenerate) == pytest.approx(cca_max_corr(w, clean), abs=1e-12)
+
+    # And the full scoring path is bit-deterministic across calls.
+    s1 = fbcca_scores_np(w, 1.0, [0.05, 0.1, 0.2], harmonics=2, softmax_beta=0.0)
+    s2 = fbcca_scores_np(w, 1.0, [0.05, 0.1, 0.2], harmonics=2, softmax_beta=0.0)
+    assert np.array_equal(s1, s2)
+
+
 def test_cwt_morlet_localizes(spark):
     from ezmsg_sigproc_spark.operators.spectrum import cwt_morlet
 

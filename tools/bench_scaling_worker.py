@@ -147,6 +147,29 @@ def main():
         ewma(sig_skew.limit(4096), alpha=0.2, key_cols=["url"], ts_col="ts",
              value_col="value", num_partitions=probe_partitions) \
             .agg(F.sum("ewma")).collect()
+        # RAW SCAN ENVELOPE (VERDICT r5 item 3): the probe's own
+        # pre-mitigation stage — parquet scan → signal extract → hot-url
+        # remap — collapsed into a near-zero-reduce aggregate (map-side
+        # partials, no mitigation work). On ONE box this stage is bounded by
+        # page-cache/memory bandwidth + decompress shared across the k busy
+        # cores, a ceiling a real N→4N EXECUTOR scale-out does not pay (each
+        # executor scans its own distributed-storage split). Measured in the
+        # SAME JVM seconds apart from the timed pipeline so each (N,4N) pair
+        # carries its own weather-matched envelope; bench.py divides the
+        # pair's raw efficiency by the pair's envelope efficiency (same
+        # pattern as the committed hw_codec envelope). The hot-row count is
+        # aggregated so Catalyst cannot prune the remap out of the plan.
+        scan_best = float("inf")
+        scan_hot_rows = 0
+        for _ in range(args.repeats):
+            t0 = time.monotonic()
+            row = sig_skew.agg(
+                F.count("value").alias("n"), F.sum("value").alias("s"),
+                F.count(F.when(
+                    F.col("url") == "https://hot.example/p/0", 1)).alias("hot"),
+            ).collect()[0]
+            scan_best = min(scan_best, time.monotonic() - t0)
+            scan_hot_rows = row["hot"]
         best = {"skew_detect": float("inf"), "skew_pipeline": float("inf")}
         n_hot = 0
         for _ in range(args.repeats):
@@ -186,6 +209,10 @@ def main():
             "composed_bins": 0,
             "source": "parquet-fused",
             "rows_per_sec": round(n_skew / elapsed, 1),
+            # raw scan envelope, kept OUT of phases/elapsed: it calibrates
+            # the pair's efficiency, it is not part of the mitigation job
+            "scan_extract_sec": round(scan_best, 3),
+            "scan_hot_rows": scan_hot_rows,
         }))
         spark.stop()
         return

@@ -244,6 +244,18 @@ def fbcca_rows(df, events_n):
     return rows
 
 
+def env_stamp() -> dict:
+    """numpy + LAPACK identifiers of the generating environment."""
+    lapack = "unknown"
+    try:
+        cfg = np.show_config(mode="dicts")
+        dep = cfg.get("Build Dependencies", {}).get("lapack", {})
+        lapack = f"{dep.get('name', '?')} {dep.get('version', '?')}"
+    except Exception:
+        pass
+    return {"numpy": np.__version__, "lapack": lapack}
+
+
 def main():
     fixtures = {
         "iir_filters_suite": {
@@ -283,6 +295,12 @@ def main():
         f.write("Expected values (pure numpy, computed outside Spark) for the\n")
         f.write("non-SQL-expressible oracle suites; see tools/make_fixtures.py\n")
         f.write('for method and independence notes."""\n\n')
+        f.write("# Environment the fixture values were generated under. Linear-algebra\n")
+        f.write("# kernels (QR/SVD) can differ across LAPACK builds on ill-conditioned\n")
+        f.write("# input; tools/verify_entry.py warns when the current env differs so a\n")
+        f.write("# future environment change surfaces as a warning, not a red driver row\n")
+        f.write("# (VERDICT r5 item 8 — the fbcca fixture broke exactly this way).\n")
+        f.write(f"ENV = {env_stamp()!r}\n\n")
         f.write("FIXTURES = {\n")
         for name, fx in fixtures.items():
             f.write(f"    {name!r}: {{\n")

@@ -8,6 +8,7 @@ Usage: python tools/verify_entry.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -54,6 +55,25 @@ def main():
 
     import __spark_entry__ as entry
     from ezmsg_sigproc_spark.session import get_spark
+
+    # Fixture-oracle environment-drift check (VERDICT r5 item 8): the inlined
+    # numpy fixtures pin QR/SVD-derived values that can differ across LAPACK
+    # builds; warn loudly when the current env differs from the generating one
+    # so drift surfaces here instead of as an unexplained red driver row.
+    try:
+        from ezmsg_sigproc_spark.fixtures_inline import ENV as _fx_env
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"))
+        from make_fixtures import env_stamp as _env_stamp
+        _cur = _env_stamp()
+        if _cur != _fx_env:
+            print(f"WARNING: fixtures_inline.py was generated under {_fx_env} "
+                  f"but this environment is {_cur} — linear-algebra fixture "
+                  f"values (IIR/FIR/spectral/CWT/FBCCA suites) may drift; "
+                  f"rerun tools/make_fixtures.py if those rows fail.",
+                  file=sys.stderr)
+    except ImportError:
+        pass
 
     spark = get_spark(cores=8)
     con = duckdb.connect()
