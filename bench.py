@@ -550,11 +550,19 @@ def main():
             t_pair = time.monotonic()
             pair_order = ((SCALING_N, SCALING_N * 4) if i % 2 == 0
                           else (SCALING_N * 4, SCALING_N))
-            for cores in pair_order:
+            for leg, cores in enumerate(pair_order):
                 wt = WORKER_TIMEOUT
                 if deadline is not None:
                     wt = int(max(120, min(WORKER_TIMEOUT,
                                           deadline - time.monotonic())))
+                    if leg == 1:
+                        # a pair is only evidence COMPLETE: once the first
+                        # leg ran, give the second at least 1.5× its wall
+                        # (the 4N leg should need LESS) even past the
+                        # deadline — later sections shed instead
+                        first_wall = time.monotonic() - t_pair
+                        wt = int(max(wt, min(WORKER_TIMEOUT,
+                                             1.5 * first_wall + 60)))
                 runs[cores].append(_worker_run(
                     [sys.executable,
                      os.path.join(here, "tools", "bench_scaling_worker.py"),

@@ -386,6 +386,7 @@ def decode_image_features(
     binary_col: str = "payload",
     keep_cols: tuple[str, ...] = ("doc_id",),
     thumb: tuple[int, int] = (8, 8),
+    jpeg_batch_decode: bool = True,
 ) -> DataFrame:
     """REAL pixel decode → per-channel means + an area-resampled RGB
     thumbnail (raw bytes, h*w*3), for PNG and BMP payloads; other/broken
@@ -439,9 +440,12 @@ def decode_image_features(
             # IDCT for every JPEG in the Arrow batch. Outcome parity with
             # the scalar path is pytest-pinned (corrupt payloads come back
             # as per-payload exceptions → same "corrupt" row).
+            # jpeg_batch_decode=False forces the scalar per-payload decoder
+            # (A/B instrumentation for tools/bench_media.py --compare;
+            # outcome parity between the paths is pytest-pinned)
             jpeg_px: dict[int, object] = {}
             jidx = [i for i, b in enumerate(payloads) if b[:2] == b"\xff\xd8"]
-            if len(jidx) >= 2:
+            if jpeg_batch_decode and len(jidx) >= 2:
                 decoded = decode_jpeg_pixels_batch([payloads[i] for i in jidx])
                 jpeg_px = dict(zip(jidx, decoded))
             rows = []

@@ -127,7 +127,18 @@ class RollupStore:
 
     # -- lineage ----------------------------------------------------------
     def completed_buckets(self, tier: str) -> set[int]:
-        if not os.path.isdir(self.lineage_dir) or not os.listdir(self.lineage_dir):
+        # Count only VISIBLE parquet files: _append_lineage stages each file
+        # as a dot-prefixed .tmp before its atomic rename, and a directory
+        # holding only such a tmp is non-empty to os.listdir but EMPTY to
+        # Spark's listing — reading it raised UNABLE_TO_INFER_SCHEMA (race
+        # found by tools/stress_concurrent_writers.py, 2-in-50 under two
+        # overlapping writers). A file visible here is always complete
+        # (atomic rename), so the read below can never see a partial.
+        if not os.path.isdir(self.lineage_dir):
+            return set()
+        visible = [f for f in os.listdir(self.lineage_dir)
+                   if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        if not visible:
             return set()
         lin = self.spark.read.parquet(self.lineage_dir)
         rows = lin.filter(F.col("tier") == tier).select("ts_bucket").distinct().collect()

@@ -23,6 +23,18 @@ def main():
     ap.add_argument("--wavs", type=int, default=2048)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--compare", action="store_true",
+                    help="SAME-HOST scalar-vs-batch JPEG A/B (VERDICT r5 "
+                         "item 5): time the image mix twice in one "
+                         "invocation — jpeg_batch_decode=False (scalar "
+                         "per-payload path) then True (lockstep batch "
+                         "decoder) — and report both MB/s + the ratio, so "
+                         "the comparison cannot straddle a host-weather "
+                         "change.")
+    ap.add_argument("--per-format", action="store_true",
+                    help="also time each image format subset alone "
+                         "(png/bmp/jpeg/gif MB/s) — shows which format "
+                         "binds the mix")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -95,30 +107,54 @@ def main():
             _gen_wavs, schema="doc_id bigint, payload binary"
         ).write.mode("overwrite").parquet(media_wav)
 
-    out = {}
+    def _time_decode(df_m, mb, op, repeats, **op_kwargs):
+        runs, counts = [], None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            res = op(df_m, binary_col="payload", keep_cols=("doc_id",),
+                     **op_kwargs)
+            counts = {r["format"]: r["cnt"] for r in res.groupBy("format").agg(
+                F.count("*").alias("cnt")).collect()}
+            runs.append(round(time.monotonic() - t0, 3))
+        assert "unknown" not in counts and "corrupt" not in counts, counts
+        return {"sec_runs": runs,
+                "mb_per_sec_best": round(mb / min(runs), 1),
+                "formats": counts}
+
+    out = {"cores": args.cores}
     for name, path, op in (("image", media_img, decode_image_features),
                            ("audio", media_wav, decode_audio_features)):
         df_m = spark.read.parquet(path).cache()
         stats = df_m.agg(F.count("*").alias("n"),
                          F.sum(F.length("payload")).alias("b")).collect()[0]
-        runs = []
-        counts = None
-        for _ in range(args.repeats):
-            t0 = time.monotonic()
-            res = op(df_m, binary_col="payload", keep_cols=("doc_id",))
-            counts = {r["format"]: r["cnt"] for r in res.groupBy("format").agg(
-                F.count("*").alias("cnt")).collect()}
-            runs.append(round(time.monotonic() - t0, 3))
-        best = min(runs)
+        mb = stats.b / 1e6
+        out[name] = {"n_payloads": stats.n, "payload_mb": round(mb, 1),
+                     **_time_decode(df_m, mb, op, args.repeats)}
+        if name == "image" and args.compare:
+            # scalar path timed back-to-back in the SAME invocation/host
+            scalar = _time_decode(df_m, mb, op, args.repeats,
+                                  jpeg_batch_decode=False)
+            out["image_scalar_jpeg"] = scalar
+            out["image_batch_over_scalar"] = round(
+                out["image"]["mb_per_sec_best"]
+                / scalar["mb_per_sec_best"], 2)
+        if name == "image" and args.per_format:
+            magic = {"png": b"\x89PN", "bmp": b"BM", "jpeg": b"\xff\xd8",
+                     "gif": b"GIF"}
+            per = {}
+            for fmt, pre in magic.items():
+                sub = df_m.filter(
+                    F.substring("payload", 1, len(pre)) == F.lit(pre)).cache()
+                s = sub.agg(F.count("*").alias("n"),
+                            F.sum(F.length("payload")).alias("b")).collect()[0]
+                if s.n:
+                    per[fmt] = {"n_payloads": s.n,
+                                "payload_mb": round(s.b / 1e6, 1),
+                                **_time_decode(sub, s.b / 1e6, op,
+                                               max(2, args.repeats - 1))}
+                sub.unpersist()
+            out["image_per_format"] = per
         df_m.unpersist()
-        assert "unknown" not in counts and "corrupt" not in counts, counts
-        out[name] = {
-            "n_payloads": stats.n,
-            "payload_mb": round(stats.b / 1e6, 1),
-            "sec_runs": runs,
-            "mb_per_sec_best": round(stats.b / 1e6 / best, 1),
-            "formats": counts,
-        }
     print(json.dumps(out))
     spark.stop()
 
