@@ -83,10 +83,44 @@ def _slow_receive(W, bb_s: int, pos: int, nbits: int, n: int) -> tuple[int, int]
     return w16 >> (16 - n), pos + n
 
 
+# Lockstep sub-batch caps. Measured on the web-image mix (48-128 px,
+# 420/DRI-4): warm decode time is LINEAR in payload count up to ~256
+# payloads per lockstep run, then turns superlinear AND erratic (n=512:
+# min 5.4 s vs 4×(n=128)=3.2 s, spread 5.4-21 s warm — the run's working
+# set outgrows cache and every gather rides the VM's noisy-neighbor memory
+# bandwidth). 128 payloads / 4 MB entropy keeps each run in the measured
+# linear regime: chunked n=512 decodes ~1.5× FASTER than scalar where the
+# unchunked call was 0.6-1.1× (slower).
+_LOCKSTEP_MAX_PAYLOADS = 128
+_LOCKSTEP_MAX_ENTROPY_BYTES = 4 << 20
+
+# Entropy bytes per 8×8 block below which a payload routes to the scalar
+# decoder instead of the lockstep loop (see the routing comment in phase A).
+# Measured: typical web-mix payloads ≈ 42 B/block (scalar wins at task
+# parallelism), quant=1 noise ≈ 110 B/block (lockstep wins 2.2×).
+_LOCKSTEP_MIN_DENSITY = 64.0
+
+
 def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
     """Batch analog of decode_jpeg_coefficients: returns, per payload,
     either (frame, coefs) or the Exception the SCALAR decoder raises for it.
+    Payloads run through the lockstep decoder in sub-batches capped at
+    ``_LOCKSTEP_MAX_PAYLOADS`` / ``_LOCKSTEP_MAX_ENTROPY_BYTES`` (see above).
     """
+    if len(payloads) > _LOCKSTEP_MAX_PAYLOADS:
+        out: list = []
+        chunk: list[bytes] = []
+        acc = 0
+        for p in payloads:
+            if chunk and (len(chunk) >= _LOCKSTEP_MAX_PAYLOADS
+                          or acc + len(p) > _LOCKSTEP_MAX_ENTROPY_BYTES):
+                out.extend(decode_jpeg_coefficients_batch(chunk))
+                chunk, acc = [], 0
+            chunk.append(p)
+            acc += len(p)
+        if chunk:
+            out.extend(decode_jpeg_coefficients_batch(chunk))
+        return out
     n_pay = len(payloads)
     results: list = [None] * n_pay
     fallback = [False] * n_pay  # re-run scalar (authoritative) at the end
@@ -152,6 +186,20 @@ def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
             per_seg = ri if ri else n_mcus
             if len(segs) != -(-n_mcus // per_seg):
                 raise _BatchUnsupported
+            # SYMBOL-DENSITY ROUTING (measured, round 6): the lockstep
+            # decoder's gathers ride shared memory bandwidth; at full task
+            # parallelism (local[32]) it decodes the typical sparse web
+            # JPEG mix at ~0.5× the scalar per-payload decoder, whose
+            # per-image working set stays cache-resident — while on DENSE
+            # payloads (low quant / high bitrate, e.g. 110 B/block noise
+            # JPEGs) the lockstep path wins 2.2× because the scalar path
+            # pays per-symbol Python cost on ~10× the symbols. Route by
+            # entropy bytes per block: ≥ threshold → lockstep, else the
+            # stable scalar path. Tests pin parity on BOTH routes.
+            blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+            dens = sum(len(s) for s in segs) / max(1, n_mcus * blocks_per_mcu)
+            if dens < _LOCKSTEP_MIN_DENSITY:
+                raise _BatchUnsupported(f"sparse payload ({dens:.0f} B/block)")
 
             # per-component global ZZ row offsets + LUT bases, scan order
             roff = {}
@@ -212,7 +260,9 @@ def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
     if n_streams:
         # global bit source: byte-window array — W[j] holds bytes j..j+2, so
         # the 16 bits at bit position p are (W[p>>3] >> (8 - (p&7))) & 0xFFFF
-        B = np.frombuffer(b"".join(seg_buf), dtype=np.uint8).astype(np.int64)
+        # int32 windows: values fit 24 bits; int64 doubled the hot gather
+        # array's footprint (8 B/byte of entropy data) for nothing
+        B = np.frombuffer(b"".join(seg_buf), dtype=np.uint8).astype(np.int32)
         W = (B[:-2] << 16) | (B[1:-1] << 8) | B[2:]
         LUTCAT = np.concatenate(lut_parts) if lut_parts else np.empty(0, np.int32)
         CIg = np.concatenate(ci_parts)
@@ -386,7 +436,10 @@ def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
 # one lockstep sub-batch (~12-16 B/px all-in). Without it a 10k-row Arrow
 # batch of megapixel JPEGs would concatenate tens of GB of blocks into one
 # einsum and OOM the executor; the scalar path only ever held one image.
-_BATCH_BLOCK_BUDGET_BYTES = 128 << 20
+# 32 MB (not 128): measured on the web mix, per-call allocations in the
+# hundreds of MB made decode walls swing ~10× run-to-run (mmap/THP page
+# faulting on every call); 32 MB chunks stay allocator-warm and cache-near.
+_BATCH_BLOCK_BUDGET_BYTES = 32 << 20
 
 
 def _est_decoded_bytes(payload: bytes) -> int:

@@ -52,3 +52,22 @@ def transpose(df: DataFrame, column_order: Sequence[str]) -> DataFrame:
 def extract_axis(df: DataFrame, key_cols: Sequence[str], ts_col: str = "ts") -> DataFrame:
     """Axis coordinates as data (reference extract_axis.py:14-38)."""
     return df.select(*key_cols, F.col(ts_col).alias("value"))
+
+
+def as_array(df: DataFrame, col: str = "value", dtype: str = "double") -> DataFrame:
+    """``AsArrayTransformer`` analog (reference ``asarray.py:83-116``): the
+    reference converts message payloads to a concrete array backend
+    (numpy/mlx/…); in Spark a DataFrame column already IS the columnar
+    array, so the meaningful residue is the dtype conversion — a
+    ``cast()`` that Tungsten executes in whole-stage codegen."""
+    return df.withColumn(col, F.col(col).cast(dtype))
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """``MaterializeTransformer`` analog (reference ``materialize.py``): the
+    reference drains the lazy generator chain to a concrete message; the
+    Spark analog is an evaluation barrier — ``cache()`` + a forcing action,
+    after which downstream consumers read the materialized partitions."""
+    out = df.cache()
+    out.count()
+    return out

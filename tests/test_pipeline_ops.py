@@ -139,3 +139,22 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     # scored sims agree exactly where pairs coincide
     m = ivf.merge(exact, on=["probe_id", "neighbor_id"], suffixes=("_i", "_e"))
     np.testing.assert_allclose(m["cos_sim_i"], m["cos_sim_e"], rtol=1e-9)
+
+
+def test_as_array_and_materialize(spark):
+    """§2.4 AsArray/Materialize analogs: cast changes the column dtype and
+    nothing else; materialize returns an equal, cached frame."""
+    import pandas as pd
+
+    from ezmsg_sigproc_spark.operators.select import as_array, materialize
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"key": ["a", "b"], "value": [1, 2]}))
+    cast = as_array(df, "value", "double")
+    assert dict(cast.dtypes)["value"] == "double"
+    assert [r.value for r in cast.orderBy("key").collect()] == [1.0, 2.0]
+
+    mat = materialize(cast)
+    assert mat.is_cached
+    assert mat.exceptAll(cast).count() == 0 and cast.exceptAll(mat).count() == 0
+    mat.unpersist()

@@ -31,6 +31,12 @@ def main():
                          "decoder) — and report both MB/s + the ratio, so "
                          "the comparison cannot straddle a host-weather "
                          "change.")
+    ap.add_argument("--img-path", default="/tmp/bench_media_img_v2.parquet",
+                    help="payload cache path; point at a fresh path together "
+                         "with a larger --imgs to size the job above the "
+                         "~0.5 s scheduling floor (65 MB in ~1.4 s at "
+                         "local[32] is floor-dominated)")
+    ap.add_argument("--wav-path", default="/tmp/bench_media_wav.parquet")
     ap.add_argument("--per-format", action="store_true",
                     help="also time each image format subset alone "
                          "(png/bmp/jpeg/gif MB/s) — shows which format "
@@ -96,8 +102,8 @@ def main():
                 rows.append((int(i), _sw(_np.clip(x, -1, 1), 16000)))
             yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    media_img = "/tmp/bench_media_img_v2.parquet"
-    media_wav = "/tmp/bench_media_wav.parquet"
+    media_img = args.img_path
+    media_wav = args.wav_path
     if not os.path.exists(media_img):
         spark.range(args.imgs, numPartitions=args.cores * 2).mapInPandas(
             _gen_images, schema="doc_id bigint, payload binary"
