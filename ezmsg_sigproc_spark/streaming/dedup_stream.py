@@ -1,0 +1,230 @@
+"""Streaming deduplication via ``applyInPandasWithState``.
+
+Batch dedup (operators/dedup.py) answers "which of these 10^12 documents
+duplicate each other"; a TRAINING-DATA INGEST pipeline also needs the online
+form — "is this arriving document a duplicate of anything seen so far" —
+without re-scanning the corpus per micro-batch. Both operators here keep
+O(1) state per key in Spark's checkpointed state store (RocksDB-backed on a
+real cluster), so the working set scales with DISTINCT content, not stream
+length, and survives restarts exactly like the reference's carried operator
+state (the same contract streaming_ewma pins for scalers).
+
+Two tiers, mirroring the batch module:
+
+- :func:`streaming_exact_dedup` — content-hash identity. State key =
+  sha2(normalized text); value = (first doc_id, count). The first arrival
+  is emitted ``is_dup=false``, every later arrival ``is_dup=true`` with
+  ``dup_of`` pointing at the first. Chunk/micro-batch split never changes
+  the outcome (same-batch and cross-batch duplicates take the same path).
+
+- :func:`streaming_minhash_dedup` — near-duplicate candidates by MinHash
+  LSH banding, the SAME hash family and band packing as the batch
+  ``minhash_signatures``/``minhash_lsh_candidates`` (md5 32-bit hex slices
+  → bigint; per-band injective 2×32-bit affine pack), pinned by a
+  streaming-vs-batch parity test. State key = (band_id, band_sig) bucket;
+  value = the bucket's FIRST doc id + its full 8-hash signature, so a hit
+  emits ``jaccard_est`` (fraction of agreeing minhashes — the standard
+  MinHash Jaccard estimator) that callers threshold. One candidate row per
+  matching band; reduce to a per-doc verdict with
+  :func:`reduce_candidates` inside ``foreachBatch`` (all of one doc's band
+  hits surface in the same trigger, so the reduction is per-batch local
+  and needs no second stateful stage).
+
+Scale notes (100 TB ingest): the exact state carries ~50 B per distinct
+document; the LSH state ~90 B per distinct band bucket (buckets ≈ docs ×
+bands). Both shard by Spark's state-store partitioning on the group key —
+content hashes and band signatures are uniform by construction, so no salt
+is needed (contrast the hot-URL rollup path). Set
+``spark.sql.streaming.stateStore.providerClass`` to RocksDB and a
+watermark/TTL policy appropriate to the corpus retention window when the
+distinct set outgrows executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Online exact dedup: one output row per input doc with ``is_dup`` and
+    ``dup_of`` (empty string for originals). State per distinct content hash
+    = (first_id, n_seen)."""
+    keyed = stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.sha2(F.col(text_col), 256).alias("content_h"),
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        first_id, n_seen = state.get if state.exists else ("", 0)
+        for pdf in pdfs:
+            # deterministic within-batch order: the smallest id of the first
+            # batch that ever sees this hash becomes the original
+            pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+            ids = pdf["id"].tolist()
+            dup_of = []
+            for i in ids:
+                if not first_id:
+                    first_id = i
+                    dup_of.append("")
+                else:
+                    dup_of.append(first_id if i != first_id else "")
+            n_seen += len(ids)
+            yield pd.DataFrame({
+                "id": ids,
+                "content_h": pdf["content_h"],
+                "is_dup": [bool(d) for d in dup_of],
+                "dup_of": dup_of,
+            })
+        state.update((str(first_id), int(n_seen)))
+
+    return keyed.groupBy("content_h").applyInPandasWithState(
+        fn,
+        outputStructType="id string, content_h string, is_dup boolean, dup_of string",
+        stateStructType="first_id string, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _minhash_rows(texts: pd.Series, k: int, n_hashes: int) -> list[list[int] | None]:
+    """Per-row MinHash signatures, bit-identical to the batch
+    ``minhash_signatures`` (operators/dedup.py:66): distinct character
+    k-shingles, hash family = 8-hex-char slices of md5(shingle) and
+    md5('#'+shingle) read as integers, min per slice. ``None`` for rows
+    shorter than ``k`` (the batch path filters those out)."""
+    out: list[list[int] | None] = []
+    for t in texts:
+        t = t if isinstance(t, str) else ""
+        if len(t) < k:
+            out.append(None)
+            continue
+        mins = [None] * n_hashes
+        for s in {t[i: i + k] for i in range(len(t) - k + 1)}:
+            h1 = hashlib.md5(s.encode()).hexdigest()
+            h2 = hashlib.md5(("#" + s).encode()).hexdigest()
+            for j in range(n_hashes):
+                src = h1 if j < 4 else h2
+                v = int(src[(j % 4) * 8: (j % 4) * 8 + 8], 16)
+                if mins[j] is None or v < mins[j]:
+                    mins[j] = v
+        out.append(mins)
+    return out
+
+
+def _band_pack(sig: list[int], b: int, rows_per_band: int) -> int:
+    """Injective per-band pack, identical to the batch ``band_sig``:
+    (first − 2³¹)·2³² + second for 2-row bands, else the single hash."""
+    first = sig[b * rows_per_band]
+    if rows_per_band == 1:
+        return first
+    return (first - 2147483648) * 4294967296 + sig[b * rows_per_band + 1]
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Online near-dup candidates: emits one row per (arriving doc, matching
+    band bucket) with the bucket's first-seen doc and the signature-agreement
+    Jaccard estimate. Docs that match no seen bucket emit nothing (callers
+    treat absence as "novel" per batch — see :func:`reduce_candidates`).
+
+    The signature is computed STATELESSLY per row (pandas UDF — no shuffle
+    before the stateful stage); the only stateful exchange carries
+    (band_id, band_sig, id, signature) ≈ 90 B per band row.
+    """
+    rows_per_band = n_hashes // bands
+    if rows_per_band > 2:
+        raise ValueError("band packing supports at most 2 32-bit rows per band")
+
+    sig_schema = "id string, band_id int, band_sig long, sig array<long>"
+
+    def to_band_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            sigs = _minhash_rows(pdf[text_col], k, n_hashes)
+            ids, band_ids, band_sigs, sig_col = [], [], [], []
+            for i, sig in zip(pdf[id_col].astype(str), sigs):
+                if sig is None:
+                    continue
+                for b in range(bands):
+                    ids.append(i)
+                    band_ids.append(b)
+                    band_sigs.append(_band_pack(sig, b, rows_per_band))
+                    sig_col.append(sig)
+            yield pd.DataFrame({
+                "id": ids, "band_id": band_ids,
+                "band_sig": band_sigs, "sig": sig_col,
+            })
+
+    band_rows = stream.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        to_band_rows, schema=sig_schema)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            first_id, first_sig = st[0], list(st[1:])
+        else:
+            first_id, first_sig = "", None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+            out_id, out_first, out_j = [], [], []
+            for i, sig in zip(pdf["id"], pdf["sig"]):
+                sig = list(sig)
+                if not first_id:
+                    first_id, first_sig = i, sig
+                    continue
+                if i == first_id:
+                    continue
+                agree = sum(a == b for a, b in zip(sig, first_sig))
+                out_id.append(i)
+                out_first.append(first_id)
+                out_j.append(agree / float(len(first_sig)))
+            yield pd.DataFrame({
+                "id": out_id,
+                "band_id": [key[0]] * len(out_id),
+                "first_id": out_first,
+                "jaccard_est": out_j,
+            })
+        if first_id:
+            state.update((str(first_id), *[int(x) for x in first_sig]))
+
+    state_schema = "first_id string, " + ", ".join(
+        f"s{j} long" for j in range(n_hashes))
+    return band_rows.groupBy("band_id", "band_sig").applyInPandasWithState(
+        fn,
+        outputStructType=("id string, band_id int, first_id string, "
+                          "jaccard_est double"),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reduce_candidates(pdf: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
+    """Per-batch reduction of candidate rows to one verdict per doc: the
+    best (highest jaccard_est) seen first-doc, dup iff it clears
+    ``threshold``. Use inside ``foreachBatch`` — one doc's band hits all
+    land in the same trigger, so this needs no second stateful stage."""
+    if pdf.empty:
+        return pd.DataFrame(columns=["id", "dup_of", "jaccard_est", "is_dup"])
+    best = (pdf.sort_values(["jaccard_est", "first_id"],
+                            ascending=[False, True], kind="mergesort")
+            .groupby("id", as_index=False).first())
+    best = best[["id", "first_id", "jaccard_est"]].rename(
+        columns={"first_id": "dup_of"})
+    best["is_dup"] = best["jaccard_est"] >= threshold
+    return best
