@@ -55,22 +55,58 @@ def streaming_exact_dedup(
     stream: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ttl_seconds: float | None = None,
+    event_ts_col: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Online exact dedup: one output row per input doc with ``is_dup`` and
     ``dup_of`` (empty string for originals). State per distinct content hash
-    = (first_id, n_seen)."""
-    keyed = stream.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.sha2(F.col(text_col), 256).alias("content_h"),
-    )
+    = (first_id, n_seen).
+
+    ``ttl_seconds`` + ``event_ts_col``: optional retention window — a
+    content hash whose last arrival is older than the stream's EVENT-TIME
+    watermark by more than the TTL is evicted from the state store, so the
+    working set tracks the active corpus window instead of growing forever;
+    a re-arrival after eviction is a new original (the standard windowed-
+    dedup trade-off). Event-time (not processing-time) timeouts on purpose:
+    retention windows are about CORPUS time, they replay deterministically
+    from a checkpoint, and — mechanically — a processing-time timeout keeps
+    scheduling wake-up batches forever, so `Trigger.AvailableNow` backfill
+    jobs would never terminate (measured: the query idles at 'Writing
+    offsets to log' indefinitely)."""
+    use_ttl = ttl_seconds is not None
+    if use_ttl:
+        if event_ts_col is None:
+            raise ValueError("ttl_seconds requires event_ts_col (event-time TTL)")
+        stream = stream.withColumn(
+            event_ts_col, F.col(event_ts_col).cast("timestamp")
+        ).withWatermark(event_ts_col, watermark_delay)
+        keyed = stream.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.sha2(F.col(text_col), 256).alias("content_h"),
+            F.col(event_ts_col).alias("evt"),
+        )
+    else:
+        keyed = stream.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.sha2(F.col(text_col), 256).alias("content_h"),
+        )
+    ttl_ms = int((ttl_seconds or 0) * 1000)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            state.remove()
+            return
         first_id, n_seen = state.get if state.exists else ("", 0)
+        max_evt_ms = 0
         for pdf in pdfs:
             # deterministic within-batch order: the smallest id of the first
             # batch that ever sees this hash becomes the original
             pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
             ids = pdf["id"].tolist()
+            if use_ttl and len(pdf):
+                max_evt_ms = max(max_evt_ms,
+                                 int(pdf["evt"].max().value // 1_000_000))
             dup_of = []
             for i in ids:
                 if not first_id:
@@ -86,13 +122,20 @@ def streaming_exact_dedup(
                 "dup_of": dup_of,
             })
         state.update((str(first_id), int(n_seen)))
+        if use_ttl:
+            # evict once the watermark passes last-seen event time + TTL;
+            # Spark requires the timestamp to sit beyond the current
+            # watermark, so late stragglers clamp forward by 1 ms
+            state.setTimeoutTimestamp(
+                max(max_evt_ms + ttl_ms, state.getCurrentWatermarkMs() + 1))
 
     return keyed.groupBy("content_h").applyInPandasWithState(
         fn,
         outputStructType="id string, content_h string, is_dup boolean, dup_of string",
         stateStructType="first_id string, n_seen long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if use_ttl else GroupStateTimeout.NoTimeout),
     )
 
 
@@ -137,11 +180,17 @@ def streaming_minhash_dedup(
     k: int = 5,
     n_hashes: int = 8,
     bands: int = 4,
+    ttl_seconds: float | None = None,
+    event_ts_col: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Online near-dup candidates: emits one row per (arriving doc, matching
     band bucket) with the bucket's first-seen doc and the signature-agreement
     Jaccard estimate. Docs that match no seen bucket emit nothing (callers
     treat absence as "novel" per batch — see :func:`reduce_candidates`).
+    ``ttl_seconds`` + ``event_ts_col``: optional per-bucket retention window
+    (same event-time eviction semantics and rationale as
+    :func:`streaming_exact_dedup`).
 
     The signature is computed STATELESSLY per row (pandas UDF — no shuffle
     before the stateful stage); the only stateful exchange carries
@@ -150,14 +199,21 @@ def streaming_minhash_dedup(
     rows_per_band = n_hashes // bands
     if rows_per_band > 2:
         raise ValueError("band packing supports at most 2 32-bit rows per band")
+    use_ttl = ttl_seconds is not None
+    if use_ttl and event_ts_col is None:
+        raise ValueError("ttl_seconds requires event_ts_col (event-time TTL)")
+    ttl_ms = int((ttl_seconds or 0) * 1000)
 
     sig_schema = "id string, band_id int, band_sig long, sig array<long>"
+    if use_ttl:
+        sig_schema += ", evt timestamp"
 
     def to_band_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             sigs = _minhash_rows(pdf[text_col], k, n_hashes)
-            ids, band_ids, band_sigs, sig_col = [], [], [], []
-            for i, sig in zip(pdf[id_col].astype(str), sigs):
+            ids, band_ids, band_sigs, sig_col, evts = [], [], [], [], []
+            evt_src = pdf[event_ts_col] if use_ttl else None
+            for ri, (i, sig) in enumerate(zip(pdf[id_col].astype(str), sigs)):
                 if sig is None:
                     continue
                 for b in range(bands):
@@ -165,22 +221,38 @@ def streaming_minhash_dedup(
                     band_ids.append(b)
                     band_sigs.append(_band_pack(sig, b, rows_per_band))
                     sig_col.append(sig)
-            yield pd.DataFrame({
-                "id": ids, "band_id": band_ids,
-                "band_sig": band_sigs, "sig": sig_col,
-            })
+                    if use_ttl:
+                        evts.append(evt_src.iloc[ri])
+            out = {"id": ids, "band_id": band_ids,
+                   "band_sig": band_sigs, "sig": sig_col}
+            if use_ttl:
+                out["evt"] = pd.to_datetime(pd.Series(evts, dtype="object"))
+            yield pd.DataFrame(out)
 
-    band_rows = stream.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        to_band_rows, schema=sig_schema)
+    cols = [F.col(id_col), F.col(text_col)]
+    if use_ttl:
+        stream = stream.withColumn(
+            event_ts_col, F.col(event_ts_col).cast("timestamp"))
+        cols.append(F.col(event_ts_col))
+    band_rows = stream.select(*cols).mapInPandas(to_band_rows, schema=sig_schema)
+    if use_ttl:
+        band_rows = band_rows.withWatermark("evt", watermark_delay)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             st = state.get
             first_id, first_sig = st[0], list(st[1:])
         else:
             first_id, first_sig = "", None
+        max_evt_ms = 0
         for pdf in pdfs:
             pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+            if use_ttl and len(pdf):
+                max_evt_ms = max(max_evt_ms,
+                                 int(pdf["evt"].max().value // 1_000_000))
             out_id, out_first, out_j = [], [], []
             for i, sig in zip(pdf["id"], pdf["sig"]):
                 sig = list(sig)
@@ -201,6 +273,10 @@ def streaming_minhash_dedup(
             })
         if first_id:
             state.update((str(first_id), *[int(x) for x in first_sig]))
+            if use_ttl:
+                state.setTimeoutTimestamp(
+                    max(max_evt_ms + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1))
 
     state_schema = "first_id string, " + ", ".join(
         f"s{j} long" for j in range(n_hashes))
@@ -210,7 +286,8 @@ def streaming_minhash_dedup(
                           "jaccard_est double"),
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if use_ttl else GroupStateTimeout.NoTimeout),
     )
 
 

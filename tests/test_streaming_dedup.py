@@ -111,3 +111,105 @@ def test_reduce_candidates_empty_and_threshold():
     assert v.loc["x", "dup_of"] == "b" and v.loc["x", "is_dup"]
     v2 = reduce_candidates(pdf, threshold=0.9).set_index("id")
     assert not v2.loc["x", "is_dup"]
+
+
+def test_streaming_exact_dedup_event_time_ttl_evicts_state(spark, tmp_path):
+    """With an event-time retention TTL, a content hash whose last arrival
+    trails the watermark by more than the TTL is evicted: its next arrival
+    is a NEW original. (Event-time, not processing-time, on purpose — see
+    the operator docstring; processing-time timeouts never let an
+    availableNow backfill job terminate.) The no-TTL restart test above
+    proves the same re-arrival WOULD be flagged as a dup when state
+    persists. Watermark lag means eviction lands on the trigger AFTER the
+    one that advances the watermark past the deadline — hence the filler
+    batches."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    os.makedirs(src)
+    schema = "doc_id string, text string, ts timestamp"
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / name))
+
+    def run(op):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (op(stream)
+             .writeStream.format("parquet")
+             .option("path", str(sink))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True)
+             .start())
+        assert q.awaitTermination(180), "streaming query failed to terminate"
+
+    def op(stream):
+        return streaming_exact_dedup(stream, ttl_seconds=50.0,
+                                     event_ts_col="ts")
+
+    write("b1", [("e1", "expirable content", 1000.0)])
+    run(op)
+    # event time jumps past ts(e1)+TTL; the next triggers advance the
+    # watermark and fire e1's eviction
+    write("b2", [("f1", "filler content", 1100.0)])
+    write("b3", [("f2", "more filler", 1110.0)])
+    run(op)
+    # re-arrival after eviction: treated as a new original
+    write("b4", [("e2", "expirable content", 1120.0)])
+    run(op)
+
+    got = spark.read.parquet(str(sink)).toPandas().set_index("id")
+    assert not got.loc["e1", "is_dup"]
+    assert not got.loc["f1", "is_dup"] and not got.loc["f2", "is_dup"]
+    assert not got.loc["e2", "is_dup"], (
+        "state should have been evicted by the event-time TTL before e2")
+
+
+def test_streaming_minhash_event_time_ttl_evicts_buckets(spark, tmp_path):
+    """Same eviction contract for the LSH band buckets: after the TTL the
+    bucket forgets its first-seen doc, so a later near-dup of the EXPIRED
+    doc emits no candidates (novel), while within the window it does."""
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    os.makedirs(src)
+    schema = "doc_id string, text string, ts timestamp"
+    base = ("web corpus retention windows bound deduplication state for "
+            "continuous ingest pipelines at scale")
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(src / name))
+
+    def run(op):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(str(src / "*"))
+        q = (op(stream)
+             .writeStream.format("parquet")
+             .option("path", str(sink))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True)
+             .start())
+        assert q.awaitTermination(180), "streaming query failed to terminate"
+
+    def op(stream):
+        return streaming_minhash_dedup(stream, ttl_seconds=50.0,
+                                       event_ts_col="ts")
+
+    write("b1", [("m1", base, 1000.0)])
+    run(op)
+    # in-window near-dup IS caught
+    write("b2", [("m2", base + " today", 1020.0)])
+    run(op)
+    # jump event time past the TTL (filler batches advance the watermark
+    # and fire the bucket evictions), then replay the same text
+    write("b3", [("f1", "completely different filler about pottery", 1200.0)])
+    write("b4", [("f2", "yet more unrelated filler on sailing", 1210.0)])
+    write("b5", [("m3", base + " today", 1220.0)])
+    run(op)
+
+    cands = spark.read.parquet(str(sink)).toPandas()
+    assert "m2" in set(cands["id"]), "in-window near-dup missed"
+    assert "m3" not in set(cands["id"]), (
+        "bucket state should have expired before m3 arrived")
