@@ -14,7 +14,10 @@ fused medians are reported unadjusted alongside.
 
 Usage:
     python tools/run_skew_pairs.py --pages /tmp/bench_pages_scaling27.parquet \
-        --out BENCH_local_r06_skew3.json [--pairs 3] [--n 2]
+        --out BENCH_local_r06_skew3.json [--pairs 3] [--n 2] [--probe skew]
+
+``--probe uniform`` runs the worker's default uniform probe instead (same
+pair/median protocol; no scan envelope — the uniform gate is raw).
 """
 from __future__ import annotations
 
@@ -52,6 +55,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2, help="low parallelism N")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument("--probe", choices=("skew", "uniform"), default="skew")
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -63,8 +67,8 @@ def main() -> None:
         for cores in order:
             r = worker_run(
                 [sys.executable, worker, "--cores", str(cores),
-                 "--pages", args.pages, "--repeats", str(args.repeats),
-                 "--skew-only"],
+                 "--pages", args.pages, "--repeats", str(args.repeats)]
+                + (["--skew-only"] if args.probe == "skew" else []),
                 timeout=args.timeout)
             runs[cores].append(r)
             print(json.dumps({"pair": i, "cores": cores,
@@ -91,15 +95,20 @@ def main() -> None:
         return sorted(xs)[len(xs) // 2] if xs else None
 
     out = {
+        "probe": args.probe,
         "protocol": (f"{args.pairs} interleaved (N,4N)=({lo_c},{hi_c}) "
                      f"fresh-JVM pairs, ABBA order, repeats={args.repeats} "
-                     "per worker, --skew-only committed construction; "
-                     "identical to bench.py section 3c"),
+                     "per worker, "
+                     + ("--skew-only committed construction; identical to "
+                        "bench.py section 3c" if args.probe == "skew" else
+                        "uniform probe (worker default); identical to "
+                        "bench.py section 3a")),
         "gate_construction": (
             "committed skewed number = efficiency_scan_adjusted = median "
             "over pairs of raw_pair_eff / scan_envelope_pair_eff (same-JVM "
             "raw-scan calibration); criterion >= 0.8; raw fused medians "
-            "reported unadjusted alongside"),
+            "reported unadjusted alongside" if args.probe == "skew" else
+            "uniform gate = raw median of pair efficiencies; criterion >= 0.8"),
         "pages": args.pages,
         "runs": {f"n{c}": rr for c, rr in runs.items()},
         "efficiency_pairs": raw_effs,
