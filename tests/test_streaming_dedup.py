@@ -213,3 +213,49 @@ def test_streaming_minhash_event_time_ttl_evicts_buckets(spark, tmp_path):
     assert "m2" in set(cands["id"]), "in-window near-dup missed"
     assert "m3" not in set(cands["id"]), (
         "bucket state should have expired before m3 arrived")
+
+
+def test_minhash_rows_property_parity_with_batch(spark):
+    """Hypothesis sweep: for arbitrary unicode-ish texts the stateless
+    streaming signature equals the batch JVM formulation exactly (same md5
+    slice family, same min selection, same <k filtering)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text_st = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+        min_size=0, max_size=60)
+
+    @settings(max_examples=20, deadline=None)
+    @given(texts=st.lists(text_st, min_size=1, max_size=4))
+    def check(texts):
+        pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                            "text": texts})
+        stream_sigs = _minhash_rows(pdf["text"], k=5, n_hashes=8)
+        batch = (minhash_signatures(
+            spark.createDataFrame(pdf, SCHEMA), "doc_id", "text",
+            k=5, n_hashes=8).toPandas().set_index("id"))
+        for i, sig in enumerate(stream_sigs):
+            did = f"d{i}"
+            if sig is None:
+                assert did not in batch.index  # batch filters len<k rows
+            else:
+                assert sig == [int(batch.loc[did][f"m{j}"]) for j in range(8)]
+
+    check()
+
+
+def test_streaming_minhash_stateful_exchange_prunes_text(spark, tmp_path):
+    """Scale shape: the shuffle into the stateful stage carries only
+    (id, band_id, band_sig, sig) — never the document text. At 100 TB the
+    text column on the state-store exchange would dominate the job; the
+    analyzed streaming plan proves it is pruned before the groupBy."""
+    stream = spark.readStream.schema(SCHEMA).parquet(str(tmp_path / "*"))
+    out = streaming_minhash_dedup(stream)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    seg = plan[plan.index("FlatMapGroupsInPandasWithState"):]
+    # the stateful node's grouping + data attributes: band keys present,
+    # the raw document text absent (pruned before the exchange)
+    head = seg.splitlines()[0]
+    assert "band_id" in head and "band_sig" in head
+    assert "text" not in head
