@@ -99,14 +99,16 @@ def streaming_exact_dedup(
             return
         first_id, n_seen = state.get if state.exists else ("", 0)
         max_evt_ms = 0
-        for pdf in pdfs:
-            # deterministic within-batch order: the smallest id of the first
-            # batch that ever sees this hash becomes the original
-            pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        # concatenate the group's Arrow chunks BEFORE sorting: a group can
+        # arrive split across chunks, and a per-chunk sort would make the
+        # "smallest id wins" tie-break depend on the Arrow batch size
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "id", kind="mergesort").reset_index(drop=True)
             ids = pdf["id"].tolist()
-            if use_ttl and len(pdf):
-                max_evt_ms = max(max_evt_ms,
-                                 int(pdf["evt"].max().value // 1_000_000))
+            if use_ttl:
+                max_evt_ms = int(pdf["evt"].max().value // 1_000_000)
             dup_of = []
             for i in ids:
                 if not first_id:
@@ -121,6 +123,8 @@ def streaming_exact_dedup(
                 "is_dup": [bool(d) for d in dup_of],
                 "dup_of": dup_of,
             })
+        if not chunks:
+            return  # no data, no timeout: leave state and deadline untouched
         state.update((str(first_id), int(n_seen)))
         if use_ttl:
             # evict once the watermark passes last-seen event time + TTL;
@@ -248,11 +252,14 @@ def streaming_minhash_dedup(
         else:
             first_id, first_sig = "", None
         max_evt_ms = 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-            if use_ttl and len(pdf):
-                max_evt_ms = max(max_evt_ms,
-                                 int(pdf["evt"].max().value // 1_000_000))
+        # concat-then-sort for the same chunk-split determinism reason as
+        # streaming_exact_dedup
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "id", kind="mergesort").reset_index(drop=True)
+            if use_ttl:
+                max_evt_ms = int(pdf["evt"].max().value // 1_000_000)
             out_id, out_first, out_j = [], [], []
             for i, sig in zip(pdf["id"], pdf["sig"]):
                 sig = list(sig)
@@ -271,6 +278,8 @@ def streaming_minhash_dedup(
                 "first_id": out_first,
                 "jaccard_est": out_j,
             })
+        if not chunks:
+            return  # no data, no timeout: leave state and deadline untouched
         if first_id:
             state.update((str(first_id), *[int(x) for x in first_sig]))
             if use_ttl:
