@@ -1,0 +1,72 @@
+"""End-to-end streaming ingest job (jobs/stream_ingest_job.py): dedup
+report + watermarked rollup→Gorilla compaction off one watched directory,
+checkpointed — a second invocation processes only NEW files and the dedup
+state survives across invocations."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+from stream_ingest_job import PAGES_SCHEMA, run  # noqa: E402
+
+
+def _pages(spark, src, name, rows):
+    """rows: (url, epoch_s, html_str)"""
+    pdf = pd.DataFrame(
+        [(u, pd.Timestamp(t, unit="s"), h.encode(), f"text of {u}", "en")
+         for u, t, h in rows],
+        columns=["url", "warc_ts", "html", "text", "lang"])
+    spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(src, name))
+
+
+def test_stream_ingest_job_end_to_end_and_resume(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "lake")
+    os.makedirs(src)
+    t0 = 1_600_000_000
+
+    # batch 1: two urls, a same-batch duplicate fetch, enough minutes that
+    # the watermark closes at least one 1m window
+    rows = [("a.com/x", t0 + 10, "<html>A</html>"),
+            ("a.com/x", t0 + 11, "<html>A</html>"),   # same content, refetched
+            ("a.com/x", t0 + 70, "<html>A2</html>"),
+            ("b.org/y", t0 + 20, "<html>B</html>"),
+            ("a.com/x", t0 + 400, "<html>late-window-closer</html>")]
+    _pages(spark, src, "b1", rows)
+    m1 = run(spark, src, out)
+    assert m1["dedup"]["docs"] == 5
+    assert m1["dedup"]["dups"] == 1
+    assert m1["rollup_blobs"]["roundtrip_ok"]
+    assert m1["rollup_blobs"]["points"] >= 2  # closed 1m windows so far
+    blocks1 = m1["rollup_blobs"]["blocks"]
+
+    # batch 2 (separate invocation = restart): a cross-RUN duplicate of the
+    # first fetch, plus new signal that closes more windows
+    rows2 = [("a.com/x", t0 + 12, "<html>A</html>"),  # dup of run-1 content
+             ("b.org/y", t0 + 500, "<html>B5</html>"),
+             ("b.org/y", t0 + 900, "<html>B9</html>")]
+    _pages(spark, src, "b2", rows2)
+    m2 = run(spark, src, out)
+    # only the 3 new docs were processed on top of the 5 old ones
+    assert m2["dedup"]["docs"] == 8
+    assert m2["dedup"]["dups"] == 2, "cross-run dup must hit persisted state"
+    assert m2["rollup_blobs"]["blocks"] > blocks1
+    assert m2["rollup_blobs"]["roundtrip_ok"]
+
+    # decoded blob points reproduce the closed windows' per-minute means
+    from pyspark.sql import functions as F
+
+    from ezmsg_sigproc_spark.operators.compression import gorilla_decode
+
+    blobs = spark.read.parquet(os.path.join(out, "blobs"))
+    decoded = gorilla_decode(blobs, key_cols=("url", "bucket")).toPandas()
+    got = decoded[decoded.url == "a.com/x"].sort_values("ts")
+    # window [t0, t0+60): two fetches len('<html>A</html>')=14 -> mean 14
+    assert np.isclose(got.iloc[0]["value"], 14.0)
+    assert got.iloc[0]["ts"] == (t0 // 60) * 60
