@@ -43,9 +43,25 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 def run(spark, source: str, out: str, ttl_hours: float | None = None,
         watermark: str = "2 minutes", trigger_seconds: float | None = None,
-        max_files_per_trigger: int = 8) -> dict:
+        max_files_per_trigger: int = 8, dedup_mode: str = "report") -> dict:
     """Run both ingest queries; returns the metrics dict (totals over the
-    sink contents, so re-runs report cumulative state honestly)."""
+    sink contents, so re-runs report cumulative state honestly).
+
+    ``dedup_mode``:
+    - ``'report'`` — one verdict row per page (``is_dup``/``dup_of``
+      lineage) via the Python stateful op. Measured cost at local[32]:
+      ~6k docs/s on 900k distinct-content pages, bound by the per-GROUP
+      Python dispatch of applyInPandasWithState (900k content hashes =
+      900k function invocations; RocksDB vs HDFS state store made no
+      difference — 149 vs 152 s).
+    - ``'drop'`` — no lineage, just the FILTERED corpus (first arrival per
+      content hash survives) via the JVM stateful ``dropDuplicates`` /
+      ``dropDuplicatesWithinWatermark`` — no Python in the loop; the
+      at-scale default when dup_of attribution is not needed. With
+      ``ttl_hours`` the retention window maps to
+      ``dropDuplicatesWithinWatermark`` (event-time, same trade-off as the
+      report mode's TTL).
+    """
     from pyspark.sql import functions as F
 
     from ezmsg_sigproc_spark.streaming.dedup_stream import streaming_exact_dedup
@@ -55,6 +71,7 @@ def run(spark, source: str, out: str, ttl_hours: float | None = None,
 
     t0 = time.monotonic()
     dedup_sink = os.path.join(out, "dedup")
+    clean_sink = os.path.join(out, "clean")
     blobs_path = os.path.join(out, "blobs")
     ck_dedup = os.path.join(out, "_checkpoints", "dedup")
     ck_rollup = os.path.join(out, "_checkpoints", "rollup")
@@ -64,19 +81,32 @@ def run(spark, source: str, out: str, ttl_hours: float | None = None,
                 .option("maxFilesPerTrigger", max_files_per_trigger)
                 .parquet(os.path.join(source, "*")))
 
-    # -- query 1: dedup report ------------------------------------------
+    # -- query 1: dedup (report or drop) ---------------------------------
     # page identity = (url, warc_ts): the same crawl fetched twice IS the
     # duplicate case; content key = the raw html payload
-    docs = source_stream().withColumn(
-        "doc_id", F.concat_ws("#", "url", F.col("warc_ts").cast("string")))
-    kwargs = {}
-    if ttl_hours is not None:
-        kwargs = {"ttl_seconds": ttl_hours * 3600.0, "event_ts_col": "warc_ts"}
-    dedup = streaming_exact_dedup(docs, id_col="doc_id", text_col="html",
-                                  **kwargs)
-    w = (dedup.writeStream.format("parquet")
-         .option("path", dedup_sink)
-         .option("checkpointLocation", ck_dedup))
+    if dedup_mode == "drop":
+        docs = source_stream().withColumn("content_h", F.sha2("html", 256))
+        if ttl_hours is not None:
+            survivors = (docs.withWatermark(
+                "warc_ts", f"{int(ttl_hours * 3600)} seconds")
+                .dropDuplicatesWithinWatermark(["content_h"]))
+        else:
+            survivors = docs.dropDuplicates(["content_h"])
+        w = (survivors.drop("content_h").writeStream.format("parquet")
+             .option("path", clean_sink)
+             .option("checkpointLocation", ck_dedup))
+    else:
+        docs = source_stream().withColumn(
+            "doc_id", F.concat_ws("#", "url", F.col("warc_ts").cast("string")))
+        kwargs = {}
+        if ttl_hours is not None:
+            kwargs = {"ttl_seconds": ttl_hours * 3600.0,
+                      "event_ts_col": "warc_ts"}
+        dedup = streaming_exact_dedup(docs, id_col="doc_id", text_col="html",
+                                      **kwargs)
+        w = (dedup.writeStream.format("parquet")
+             .option("path", dedup_sink)
+             .option("checkpointLocation", ck_dedup))
     if trigger_seconds is None:
         q1 = w.trigger(availableNow=True).start()
     else:
@@ -95,15 +125,21 @@ def run(spark, source: str, out: str, ttl_hours: float | None = None,
         q1.awaitTermination()
         q2.awaitTermination()
 
-    metrics: dict = {"elapsed_sec": round(time.monotonic() - t0, 3)}
+    metrics: dict = {"elapsed_sec": round(time.monotonic() - t0, 3),
+                     "dedup_mode": dedup_mode}
     try:
-        rep = spark.read.parquet(dedup_sink)
-        agg = rep.agg(F.count("*").alias("docs"),
-                      F.sum(F.col("is_dup").cast("long")).alias("dups")
-                      ).collect()[0]
-        metrics["dedup"] = {"docs": agg.docs, "dups": int(agg.dups or 0),
-                            "path": dedup_sink,
-                            "ttl_hours": ttl_hours}
+        if dedup_mode == "drop":
+            n = spark.read.parquet(clean_sink).count()
+            metrics["dedup"] = {"survivors": n, "path": clean_sink,
+                                "ttl_hours": ttl_hours}
+        else:
+            rep = spark.read.parquet(dedup_sink)
+            agg = rep.agg(F.count("*").alias("docs"),
+                          F.sum(F.col("is_dup").cast("long")).alias("dups")
+                          ).collect()[0]
+            metrics["dedup"] = {"docs": agg.docs, "dups": int(agg.dups or 0),
+                                "path": dedup_sink,
+                                "ttl_hours": ttl_hours}
     except Exception as e:  # empty source → no sink yet
         metrics["dedup"] = {"docs": 0, "dups": 0, "note": str(e)[:120]}
     try:
@@ -134,6 +170,11 @@ def main(argv=None):
     ap.add_argument("--watermark", default="2 minutes")
     ap.add_argument("--trigger", default="available-now",
                     help="'available-now' (drain + exit) or seconds")
+    ap.add_argument("--dedup-mode", choices=("report", "drop"),
+                    default="report",
+                    help="'report' = is_dup/dup_of lineage rows (Python "
+                         "stateful); 'drop' = JVM dropDuplicates, writes "
+                         "the filtered corpus to <out>/clean")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -142,7 +183,8 @@ def main(argv=None):
     spark = get_spark(app_name="stream_ingest_job", cores=args.cores)
     trig = None if args.trigger == "available-now" else float(args.trigger)
     metrics = run(spark, args.source, args.out, ttl_hours=args.ttl_hours,
-                  watermark=args.watermark, trigger_seconds=trig)
+                  watermark=args.watermark, trigger_seconds=trig,
+                  dedup_mode=args.dedup_mode)
     print(json.dumps(metrics, default=str))
     spark.stop()
 

@@ -70,3 +70,25 @@ def test_stream_ingest_job_end_to_end_and_resume(spark, tmp_path):
     # window [t0, t0+60): two fetches len('<html>A</html>')=14 -> mean 14
     assert np.isclose(got.iloc[0]["value"], 14.0)
     assert got.iloc[0]["ts"] == (t0 // 60) * 60
+
+
+def test_stream_ingest_drop_mode_filters_dups(spark, tmp_path):
+    """dedup_mode='drop' (JVM dropDuplicates path): the clean sink keeps one
+    row per distinct content, across micro-batches and invocations, with no
+    Python stateful stage."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "lake")
+    os.makedirs(src)
+    t0 = 1_600_000_000
+    _pages(spark, src, "b1", [("a.com/x", t0 + 10, "<html>A</html>"),
+                              ("a.com/x", t0 + 11, "<html>A</html>"),
+                              ("b.org/y", t0 + 20, "<html>B</html>")])
+    m1 = run(spark, src, out, dedup_mode="drop")
+    assert m1["dedup"]["survivors"] == 2  # one per distinct content
+    # second invocation: a cross-run duplicate and a novel page
+    _pages(spark, src, "b2", [("c.net/z", t0 + 30, "<html>A</html>"),
+                              ("d.io/w", t0 + 40, "<html>D</html>")])
+    m2 = run(spark, src, out, dedup_mode="drop")
+    assert m2["dedup"]["survivors"] == 3, "cross-run dup must be dropped"
+    clean = spark.read.parquet(os.path.join(out, "clean")).toPandas()
+    assert set(clean["url"]) == {"a.com/x", "b.org/y", "d.io/w"}
