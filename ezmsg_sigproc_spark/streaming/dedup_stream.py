@@ -38,6 +38,15 @@ is needed (contrast the hot-URL rollup path). Set
 ``spark.sql.streaming.stateStore.providerClass`` to RocksDB and a
 watermark/TTL policy appropriate to the corpus retention window when the
 distinct set outgrows executor memory.
+
+Throughput ceiling, measured (see jobs/stream_ingest_job.py and
+BASELINE.md): every applyInPandasWithState op pays one PYTHON function
+invocation per GROUP per batch — ~6k docs/s at local[32] on 900k distinct
+content hashes, and the state-store provider is irrelevant to it. When
+per-dup attribution is not required, prefer the JVM ``dropDuplicates`` /
+``dropDuplicatesWithinWatermark`` path (ingest job ``--dedup-mode drop``,
+measured 7.6× end-to-end); run the LSH near-dup as the BATCH operator on
+periodic snapshots when bucket counts reach ingest scale.
 """
 
 from __future__ import annotations
