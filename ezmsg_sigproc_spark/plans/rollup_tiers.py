@@ -37,6 +37,7 @@ import time
 import uuid
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,6 +111,65 @@ def _bucket_col(bin_seconds: int):
     return F.floor(F.col("bin_m") * bin_seconds / per).cast("bigint").alias("ts_bucket")
 
 
+def _bucket_writer(staging: str):
+    """mapInArrow task body: write this task's rows into one parquet file per
+    ts_bucket under ``staging`` and emit (ts_bucket, n_rows) stats.
+
+    The data is hash-partitioned on ts_bucket before this runs, so a bucket
+    is wholly owned by exactly one task — one file per bucket, named
+    deterministically ``part-<partitionId>.parquet``. Retried or speculative
+    attempts write identical content (the repartition hash is deterministic)
+    to a uuid-suffixed temp and atomically rename onto the same final name,
+    so duplicate attempts are idempotent — the same immutable-content
+    argument the store's bucket-level commit already relies on. Memory is
+    bounded per Arrow batch: each batch is split by bucket and appended to
+    that bucket's open ParquetWriter as a row group (nothing accumulates
+    beyond writer buffers).
+    """
+
+    def write_partition(batches):
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        writers: dict[int, tuple] = {}
+        counts: dict[int, int] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            bcol = tbl.column("ts_bucket")
+            for b in pc.unique(bcol).to_pylist():
+                b = int(b)
+                sub = tbl.filter(pc.equal(bcol, b)).drop_columns(["ts_bucket"])
+                entry = writers.get(b)
+                if entry is None:
+                    bdir = os.path.join(staging, f"ts_bucket={b}")
+                    os.makedirs(bdir, exist_ok=True)
+                    tmp = os.path.join(
+                        bdir, f".part-{pid:05d}-{_uuid.uuid4().hex[:8]}.tmp")
+                    entry = (pq.ParquetWriter(tmp, sub.schema, compression="snappy"),
+                             tmp, os.path.join(bdir, f"part-{pid:05d}.parquet"))
+                    writers[b] = entry
+                    counts[b] = 0
+                entry[0].write_table(sub)
+                counts[b] += sub.num_rows
+        for b, (w, tmp, final) in writers.items():
+            w.close()
+            os.rename(tmp, final)
+        if counts:
+            ks = sorted(counts)
+            yield pa.RecordBatch.from_pydict(
+                {"ts_bucket": pa.array(ks, pa.int64()),
+                 "n_rows": pa.array([counts[k] for k in ks], pa.int64())})
+
+    return write_partition
+
+
 class RollupStore:
     """Hive-partitioned parquet lakehouse with lineage + retention.
 
@@ -140,9 +200,19 @@ class RollupStore:
                    if f.endswith(".parquet") and not f.startswith((".", "_"))]
         if not visible:
             return set()
-        lin = self.spark.read.parquet(self.lineage_dir)
-        rows = lin.filter(F.col("tier") == tier).select("ts_bucket").distinct().collect()
-        return {r.ts_bucket for r in rows}
+        # lineage is driver-side metadata (a few hundred tiny rows): read the
+        # visible files directly with pyarrow instead of launching a Spark
+        # read job — the old Spark path cost 0.2-0.5 s of job round trips per
+        # write_tier commit at sf0.1, pyarrow ~10 ms (the same asymmetry as
+        # _append_lineage, which always wrote with pyarrow).
+        out: set[int] = set()
+        for f in visible:
+            t = pq.read_table(os.path.join(self.lineage_dir, f),
+                              columns=["tier", "ts_bucket"])
+            out.update(
+                t.filter(pc.equal(t.column("tier"), tier))
+                .column("ts_bucket").to_pylist())
+        return out
 
     def _append_lineage(self, tier: str, stats: list[tuple[int, int]]):
         # lineage rows are driver-side metadata (the Iceberg-manifest analog):
@@ -223,38 +293,32 @@ class RollupStore:
         par = max(int(self.spark.conf.get("spark.sql.shuffle.partitions", "32")),
                   self.spark.sparkContext.defaultParallelism)
         shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
         timings: dict[str, float] = {}
+        # The staged write is an executor-side pyarrow writer (mapInArrow)
+        # rather than Spark's dynamic-partition ``partitionBy`` insert: the
+        # dynamic writer sorts every task's rows by partition value, opens
+        # its ~bucket-count files through the Hadoop committer's _temporary
+        # double-rename, and leaves row counts to a separate footer pass.
+        # Writing the (already bucket-partitioned) rows directly gives one
+        # deterministic file per bucket, returns per-bucket row counts from
+        # the same job, and needs no second commit protocol underneath our
+        # own staged-atomic-rename one. Measured sf0.1 720-bucket 1m tier:
+        # write 2.4-2.9 s → 1.5 s AND the 0.4-0.5 s footer pass drops to the
+        # cost of collecting ~720 stat rows. Crash-consistency is unchanged:
+        # stats come from the writing job itself, which only returns after
+        # every staged file is closed and renamed; lineage still commits
+        # strictly after the bucket-dir renames below.
         t0 = time.monotonic()
-        (out.repartition(par, F.col("ts_bucket"))
-            .write.mode("overwrite").partitionBy("ts_bucket").parquet(staging))
+        stat_rows = (
+            out.repartition(par, F.col("ts_bucket"))
+            .mapInArrow(_bucket_writer(staging), "ts_bucket bigint, n_rows bigint")
+            .collect())
         timings["write"] = round(time.monotonic() - t0, 3)
-        # lineage stats come from the STAGED parquet footers — metadata-only,
-        # crash-consistent, and no second computation of the tier (the
-        # pre-write groupBy().collect() used to run the whole rollup twice,
-        # and a read-back count job re-opened every file). On Iceberg the
-        # same numbers come from the manifest's per-file row counts.
-        # Footer reads go through a thread pool: pq.read_metadata is C++
-        # I/O that releases the GIL, and the sequential loop over ~720
-        # one-file buckets was the dominant driver-side cost of write_tier
-        # at sf0.1 (VERDICT r4 item 4).
         t0 = time.monotonic()
-        from concurrent.futures import ThreadPoolExecutor
-
-        file_bucket: list[tuple[int, str]] = []
-        for d in os.listdir(staging):
-            if not d.startswith("ts_bucket="):
-                continue
-            b = int(d.split("=", 1)[1])
-            bdir = os.path.join(staging, d)
-            file_bucket.extend(
-                (b, os.path.join(bdir, f))
-                for f in os.listdir(bdir) if f.endswith(".parquet"))
-        stats_map: dict[int, int] = {b: 0 for b, _ in file_bucket}
-        with ThreadPoolExecutor(max_workers=32) as ex:
-            for (b, _), n in zip(file_bucket, ex.map(
-                    lambda p: pq.read_metadata(p).num_rows,
-                    [p for _, p in file_bucket])):
-                stats_map[b] += n
+        stats_map: dict[int, int] = {}
+        for r in stat_rows:
+            stats_map[r.ts_bucket] = stats_map.get(r.ts_bucket, 0) + r.n_rows
         timings["footer_stats"] = round(time.monotonic() - t0, 3)
         stats = sorted(stats_map.items())
         t0 = time.monotonic()
