@@ -106,7 +106,10 @@ def streaming_exact_dedup(
         if use_ttl and state.hasTimedOut:
             state.remove()
             return
-        first_id, n_seen = state.get if state.exists else ("", 0)
+        # None (not string truthiness) marks an unclaimed bucket, tied to
+        # state.exists: an empty-string doc id is a legal claimant (ADVICE
+        # r6 — `if not first_id` let ''-id documents through undeduplicated)
+        first_id, n_seen = state.get if state.exists else (None, 0)
         max_evt_ms = 0
         # concatenate the group's Arrow chunks BEFORE sorting: a group can
         # arrive split across chunks, and a per-chunk sort would make the
@@ -118,18 +121,23 @@ def streaming_exact_dedup(
             ids = pdf["id"].tolist()
             if use_ttl:
                 max_evt_ms = int(pdf["evt"].max().value // 1_000_000)
-            dup_of = []
+            dup_of, is_dup = [], []
             for i in ids:
-                if not first_id:
+                if first_id is None:
                     first_id = i
                     dup_of.append("")
+                    is_dup.append(False)
+                elif i == first_id:
+                    dup_of.append("")
+                    is_dup.append(False)
                 else:
-                    dup_of.append(first_id if i != first_id else "")
+                    dup_of.append(first_id)
+                    is_dup.append(True)
             n_seen += len(ids)
             yield pd.DataFrame({
                 "id": ids,
                 "content_h": pdf["content_h"],
-                "is_dup": [bool(d) for d in dup_of],
+                "is_dup": is_dup,
                 "dup_of": dup_of,
             })
         if not chunks:
@@ -157,7 +165,12 @@ def _minhash_rows(texts: pd.Series, k: int, n_hashes: int) -> list[list[int] | N
     ``minhash_signatures`` (operators/dedup.py:66): distinct character
     k-shingles, hash family = 8-hex-char slices of md5(shingle) and
     md5('#'+shingle) read as integers, min per slice. ``None`` for rows
-    shorter than ``k`` (the batch path filters those out)."""
+    shorter than ``k`` (the batch path filters those out).
+
+    REFERENCE implementation — the production streaming path computes the
+    same family with JVM column expressions (see
+    :func:`streaming_minhash_dedup`); the parity tests pin this Python
+    formulation against both the batch operator and the streaming output."""
     out: list[list[int] | None] = []
     for t in texts:
         t = t if isinstance(t, str) else ""
@@ -205,7 +218,8 @@ def streaming_minhash_dedup(
     (same event-time eviction semantics and rationale as
     :func:`streaming_exact_dedup`).
 
-    The signature is computed STATELESSLY per row (pandas UDF — no shuffle
+    The signature is computed STATELESSLY per row with JVM column
+    expressions (md5/substring/array_min higher-order functions — no Python
     before the stateful stage); the only stateful exchange carries
     (band_id, band_sig, id, signature) ≈ 90 B per band row.
     """
@@ -217,37 +231,54 @@ def streaming_minhash_dedup(
         raise ValueError("ttl_seconds requires event_ts_col (event-time TTL)")
     ttl_ms = int((ttl_seconds or 0) * 1000)
 
-    sig_schema = "id string, band_id int, band_sig long, sig array<long>"
-    if use_ttl:
-        sig_schema += ", evt timestamp"
+    # Band rows are pure COLUMN EXPRESSIONS (VERDICT r6: the old path ran
+    # hashlib.md5 twice per shingle per doc inside mapInPandas — a Python
+    # ceiling that bound ingest-rate near-dup before the stateful stage
+    # did). Same hash family as the batch minhash_signatures (md5 hex
+    # slices → bigint, per-band affine pack; parity pytest-pinned); the
+    # batch module's explode+groupBy(min) shape is NOT available here — a
+    # streaming aggregate cannot feed applyInPandasWithState — so the min
+    # runs per ROW over the shingle array with higher-order functions:
+    # stateless, streaming-compatible, entirely JVM. Python now enters only
+    # at the stateful bucket stage.
+    t = F.col(text_col)
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+        lambda i: F.substring(t, i, k)))
+    h1 = F.transform(shingles, F.md5)
+    h2 = F.transform(shingles, lambda s: F.md5(F.concat(F.lit("#"), s)))
+    m_cols = [
+        F.conv(F.array_min(F.transform(
+            h1 if j < 4 else h2, lambda x: x.substr((j % 4) * 8 + 1, 8))),
+            16, 10).cast("long").alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
 
-    def to_band_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            sigs = _minhash_rows(pdf[text_col], k, n_hashes)
-            ids, band_ids, band_sigs, sig_col, evts = [], [], [], [], []
-            evt_src = pdf[event_ts_col] if use_ttl else None
-            for ri, (i, sig) in enumerate(zip(pdf[id_col].astype(str), sigs)):
-                if sig is None:
-                    continue
-                for b in range(bands):
-                    ids.append(i)
-                    band_ids.append(b)
-                    band_sigs.append(_band_pack(sig, b, rows_per_band))
-                    sig_col.append(sig)
-                    if use_ttl:
-                        evts.append(evt_src.iloc[ri])
-            out = {"id": ids, "band_id": band_ids,
-                   "band_sig": band_sigs, "sig": sig_col}
-            if use_ttl:
-                out["evt"] = pd.to_datetime(pd.Series(evts, dtype="object"))
-            yield pd.DataFrame(out)
+    def band_sig(b: int):
+        first = F.col(f"m{b * rows_per_band}")
+        if rows_per_band == 1:
+            return first
+        return (first - F.lit(2147483648)) * F.lit(4294967296) + F.col(
+            f"m{b * rows_per_band + 1}")
 
-    cols = [F.col(id_col), F.col(text_col)]
+    cols = [F.col(id_col).cast("string").alias("id")]
     if use_ttl:
         stream = stream.withColumn(
             event_ts_col, F.col(event_ts_col).cast("timestamp"))
-        cols.append(F.col(event_ts_col))
-    band_rows = stream.select(*cols).mapInPandas(to_band_rows, schema=sig_schema)
+        cols.append(F.col(event_ts_col).alias("evt"))
+    sig_rows = (stream
+                .filter(F.length(t) >= k)  # the batch path's short-row filter
+                .select(*cols, *m_cols))
+    band_rows = sig_rows.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"), band_sig(b).alias("band_sig"))
+            for b in range(bands)
+        ])).alias("band"),
+        F.array(*[F.col(f"m{j}") for j in range(n_hashes)]).alias("sig"),
+        *(["evt"] if use_ttl else []),
+    ).select("id", "band.band_id", "band.band_sig", "sig",
+             *(["evt"] if use_ttl else []))
     if use_ttl:
         band_rows = band_rows.withWatermark("evt", watermark_delay)
 
@@ -259,7 +290,8 @@ def streaming_minhash_dedup(
             st = state.get
             first_id, first_sig = st[0], list(st[1:])
         else:
-            first_id, first_sig = "", None
+            # None sentinel (not string truthiness): '' is a legal doc id
+            first_id, first_sig = None, None
         max_evt_ms = 0
         # concat-then-sort for the same chunk-split determinism reason as
         # streaming_exact_dedup
@@ -272,7 +304,7 @@ def streaming_minhash_dedup(
             out_id, out_first, out_j = [], [], []
             for i, sig in zip(pdf["id"], pdf["sig"]):
                 sig = list(sig)
-                if not first_id:
+                if first_id is None:
                     first_id, first_sig = i, sig
                     continue
                 if i == first_id:
@@ -289,7 +321,7 @@ def streaming_minhash_dedup(
             })
         if not chunks:
             return  # no data, no timeout: leave state and deadline untouched
-        if first_id:
+        if first_id is not None:
             state.update((str(first_id), *[int(x) for x in first_sig]))
             if use_ttl:
                 state.setTimeoutTimestamp(

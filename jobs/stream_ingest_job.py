@@ -43,7 +43,8 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 def run(spark, source: str, out: str, ttl_hours: float | None = None,
         watermark: str = "2 minutes", trigger_seconds: float | None = None,
-        max_files_per_trigger: int = 8, dedup_mode: str = "report") -> dict:
+        max_files_per_trigger: int = 8, dedup_mode: str = "report",
+        dedup_watermark: str | None = None) -> dict:
     """Run both ingest queries; returns the metrics dict (totals over the
     sink contents, so re-runs report cumulative state honestly).
 
@@ -54,13 +55,28 @@ def run(spark, source: str, out: str, ttl_hours: float | None = None,
       Python dispatch of applyInPandasWithState (900k content hashes =
       900k function invocations; RocksDB vs HDFS state store made no
       difference — 149 vs 152 s).
+    - ``'report-join'`` — the same verdict rows (``is_dup``/``dup_of``
+      lineage, parity pytest-pinned) at JVM join speed: ``foreachBatch``
+      maintains a compact first-seen table (content_h, first_id) under
+      ``<out>/_first_seen`` and left-joins each micro-batch against it —
+      no Python stage, no per-group dispatch. Both sinks are written as
+      idempotent ``batch_id=<n>`` partitions (a replayed batch overwrites
+      its own partitions and joins only against strictly older ones), so
+      checkpoint recovery is exactly-once like the state-store path.
+      TTL is not supported here (the first-seen table has no event-time
+      eviction; use ``report`` when a retention window is required).
     - ``'drop'`` — no lineage, just the FILTERED corpus (first arrival per
       content hash survives) via the JVM stateful ``dropDuplicates`` /
-      ``dropDuplicatesWithinWatermark`` — no Python in the loop; the
-      at-scale default when dup_of attribution is not needed. With
+      ``dropDuplicatesWithinWatermark`` — no Python in the loop. With
       ``ttl_hours`` the retention window maps to
       ``dropDuplicatesWithinWatermark`` (event-time, same trade-off as the
       report mode's TTL).
+
+    ``dedup_watermark``: lateness allowance for the report mode's TTL path
+    (default: the rollup ``watermark``). The previous hardcoded '0 seconds'
+    silently dropped any page whose warc_ts trailed the max event time of a
+    prior trigger — crawl files are rarely globally time-ordered, and
+    maxFilesPerTrigger splits the source across triggers (ADVICE r6).
     """
     from pyspark.sql import functions as F
 
@@ -95,13 +111,68 @@ def run(spark, source: str, out: str, ttl_hours: float | None = None,
         w = (survivors.drop("content_h").writeStream.format("parquet")
              .option("path", clean_sink)
              .option("checkpointLocation", ck_dedup))
+    elif dedup_mode == "report-join":
+        if ttl_hours is not None:
+            raise ValueError(
+                "report-join has no event-time eviction; use --dedup-mode "
+                "report for a TTL retention window")
+        docs = source_stream().select(
+            F.concat_ws("#", "url", F.col("warc_ts").cast("string")
+                        ).alias("doc_id"),
+            F.sha2("html", 256).alias("content_h"))
+        first_seen_dir = os.path.join(out, "_first_seen")
+
+        def process_batch(bdf, batch_id: int):
+            sess = bdf.sparkSession
+            b = bdf.persist()
+            try:
+                # prior first-seen state = every batch partition STRICTLY
+                # older than this one (a replayed batch must not join
+                # against its own previous attempt's appends)
+                prior = [
+                    d for d in (os.listdir(first_seen_dir)
+                                if os.path.isdir(first_seen_dir) else [])
+                    if d.startswith("batch_id=")
+                    and int(d.split("=", 1)[1]) < batch_id]
+                mins = b.groupBy("content_h").agg(
+                    F.min("doc_id").alias("batch_first"))
+                if prior:
+                    t = sess.read.parquet(first_seen_dir).filter(
+                        F.col("batch_id") < batch_id).select(
+                        "content_h", "first_id")
+                    firsts = mins.join(t, "content_h", "left").select(
+                        "content_h",
+                        F.coalesce("first_id", "batch_first").alias("first_id"),
+                        F.col("first_id").isNotNull().alias("seen_before"))
+                else:
+                    firsts = mins.select(
+                        "content_h", F.col("batch_first").alias("first_id"),
+                        F.lit(False).alias("seen_before"))
+                verdict = b.join(firsts, "content_h").select(
+                    F.col("doc_id").alias("id"), "content_h",
+                    (F.col("doc_id") != F.col("first_id")).alias("is_dup"),
+                    F.when(F.col("doc_id") != F.col("first_id"),
+                           F.col("first_id")).otherwise(F.lit("")
+                                                        ).alias("dup_of"))
+                verdict.write.mode("overwrite").parquet(
+                    os.path.join(dedup_sink, f"batch_id={batch_id}"))
+                (firsts.filter(~F.col("seen_before"))
+                 .select("content_h", "first_id")
+                 .write.mode("overwrite").parquet(
+                     os.path.join(first_seen_dir, f"batch_id={batch_id}")))
+            finally:
+                b.unpersist()
+
+        w = (docs.writeStream.foreachBatch(process_batch)
+             .option("checkpointLocation", ck_dedup))
     else:
         docs = source_stream().withColumn(
             "doc_id", F.concat_ws("#", "url", F.col("warc_ts").cast("string")))
         kwargs = {}
         if ttl_hours is not None:
             kwargs = {"ttl_seconds": ttl_hours * 3600.0,
-                      "event_ts_col": "warc_ts"}
+                      "event_ts_col": "warc_ts",
+                      "watermark_delay": dedup_watermark or watermark}
         dedup = streaming_exact_dedup(docs, id_col="doc_id", text_col="html",
                                       **kwargs)
         w = (dedup.writeStream.format("parquet")
@@ -116,17 +187,31 @@ def run(spark, source: str, out: str, ttl_hours: float | None = None,
     q2 = streaming_rollup_to_gorilla(source_stream(), blobs_path, ck_rollup,
                                      watermark=watermark)
 
+    stop_note = None
     if trigger_seconds is None:
         ok1 = q1.awaitTermination(3600)
         ok2 = q2.awaitTermination(3600)
         if not (ok1 and ok2):
             raise RuntimeError("ingest query failed to drain within 3600 s")
-    else:  # continuous mode: run until interrupted
-        q1.awaitTermination()
-        q2.awaitTermination()
+    else:  # continuous mode: run until interrupted, then still report
+        try:
+            q1.awaitTermination()
+            q2.awaitTermination()
+        except BaseException as e:  # SIGINT or StreamingQueryException: the
+            # docstring promises a metrics dict either way (ADVICE r6) —
+            # stop both queries so the sink reads below see committed data
+            # only, and record why we stopped instead of swallowing it
+            stop_note = f"{type(e).__name__}: {e}"[:200]
+            for q in (q1, q2):
+                try:
+                    q.stop()
+                except Exception:
+                    pass
 
     metrics: dict = {"elapsed_sec": round(time.monotonic() - t0, 3),
                      "dedup_mode": dedup_mode}
+    if stop_note:
+        metrics["stopped_by"] = stop_note
     try:
         if dedup_mode == "drop":
             n = spark.read.parquet(clean_sink).count()
@@ -170,11 +255,17 @@ def main(argv=None):
     ap.add_argument("--watermark", default="2 minutes")
     ap.add_argument("--trigger", default="available-now",
                     help="'available-now' (drain + exit) or seconds")
-    ap.add_argument("--dedup-mode", choices=("report", "drop"),
+    ap.add_argument("--dedup-mode", choices=("report", "report-join", "drop"),
                     default="report",
                     help="'report' = is_dup/dup_of lineage rows (Python "
-                         "stateful); 'drop' = JVM dropDuplicates, writes "
-                         "the filtered corpus to <out>/clean")
+                         "stateful, supports --ttl-hours); 'report-join' = "
+                         "same lineage rows at JVM join speed via a "
+                         "foreachBatch first-seen table (no TTL); 'drop' = "
+                         "JVM dropDuplicates, writes the filtered corpus "
+                         "to <out>/clean")
+    ap.add_argument("--dedup-watermark", default=None,
+                    help="lateness allowance for report-mode TTL dedup "
+                         "(default: --watermark)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -184,7 +275,8 @@ def main(argv=None):
     trig = None if args.trigger == "available-now" else float(args.trigger)
     metrics = run(spark, args.source, args.out, ttl_hours=args.ttl_hours,
                   watermark=args.watermark, trigger_seconds=trig,
-                  dedup_mode=args.dedup_mode)
+                  dedup_mode=args.dedup_mode,
+                  dedup_watermark=args.dedup_watermark)
     print(json.dumps(metrics, default=str))
     spark.stop()
 
