@@ -463,7 +463,17 @@ def decode_image_features(
                 out.insert(0, c, pdf[c].to_numpy())
             yield out
 
-    return df.mapInPandas(kernel, schema=schema)
+    # Widen-if-narrow guard before the decode stage (same probe as dedup's
+    # widen_narrow_input): decode parallelism = input partition count.
+    # Parquet scans are safe by default (files.minPartitionNum floors splits
+    # at the core count — measured no-op on the media bench cache), but a
+    # DataFrame arriving from an upstream operator with few partitions
+    # (a coalesced aggregate, a single in-memory frame) would otherwise run
+    # the whole per-payload decode on those few cores. Plan-only probe,
+    # no job, no-op on already-wide inputs.
+    from .dedup import widen_narrow_input
+
+    return widen_narrow_input(df).mapInPandas(kernel, schema=schema)
 
 
 AUDIO_FEATURES_SCHEMA = (
@@ -503,7 +513,17 @@ def decode_audio_features(
                 out.insert(0, c, pdf[c].to_numpy())
             yield out
 
-    return df.mapInPandas(kernel, schema=schema)
+    # Widen-if-narrow guard before the decode stage (same probe as dedup's
+    # widen_narrow_input): decode parallelism = input partition count.
+    # Parquet scans are safe by default (files.minPartitionNum floors splits
+    # at the core count — measured no-op on the media bench cache), but a
+    # DataFrame arriving from an upstream operator with few partitions
+    # (a coalesced aggregate, a single in-memory frame) would otherwise run
+    # the whole per-payload decode on those few cores. Plan-only probe,
+    # no job, no-op on already-wide inputs.
+    from .dedup import widen_narrow_input
+
+    return widen_narrow_input(df).mapInPandas(kernel, schema=schema)
 
 
 from .jpeg import (  # noqa: E402  (re-export: JPEG lives in its own module)
