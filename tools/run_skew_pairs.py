@@ -92,7 +92,12 @@ def main() -> None:
                     ((lo["elapsed"] - slo) / (hi["elapsed"] - shi)) / 4.0, 3))
 
     def med(xs: list[float]) -> float | None:
-        return sorted(xs)[len(xs) // 2] if xs else None
+        # true midpoint median (ADVICE r6: sorted[len//2] is the UPPER
+        # middle for even-length lists, which biases the committed gate
+        # number upward after error-pair filtering)
+        import statistics
+
+        return round(statistics.median(xs), 3) if xs else None
 
     out = {
         "probe": args.probe,
