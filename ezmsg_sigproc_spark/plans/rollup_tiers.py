@@ -115,52 +115,79 @@ def _bucket_writer(staging: str):
     """mapInArrow task body: write this task's rows into one parquet file per
     ts_bucket under ``staging`` and emit (ts_bucket, n_rows) stats.
 
-    The data is hash-partitioned on ts_bucket before this runs, so a bucket
-    is wholly owned by exactly one task — one file per bucket, named
-    deterministically ``part-<partitionId>.parquet``. Retried or speculative
-    attempts write identical content (the repartition hash is deterministic)
-    to a uuid-suffixed temp and atomically rename onto the same final name,
-    so duplicate attempts are idempotent — the same immutable-content
-    argument the store's bucket-level commit already relies on. Memory is
-    bounded per Arrow batch: each batch is split by bucket and appended to
-    that bucket's open ParquetWriter as a row group (nothing accumulates
-    beyond writer buffers).
+    The data is hash-partitioned on ts_bucket AND sorted within partitions
+    by ts_bucket before this runs, so a bucket is wholly owned by exactly
+    one task and arrives as one contiguous run — one file per bucket, named
+    deterministically ``part-<partitionId>.parquet``, with at most ONE open
+    ParquetWriter per task (the sort is what Spark's own dynamic-partition
+    writer does for the same reason; without it a task holding thousands of
+    buckets would hold thousands of writer buffers). Retried or speculative
+    attempts write identical content (the repartition hash and sort keys
+    are deterministic) to a uuid-suffixed temp and atomically rename onto
+    the same final name, so duplicate attempts are idempotent — the same
+    immutable-content argument the store's bucket-level commit already
+    relies on. Each Arrow batch is split into bucket runs by zero-copy
+    slicing (O(rows), no per-bucket filter scans).
     """
 
     def write_partition(batches):
         import os
         import uuid as _uuid
 
+        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        writers: dict[int, tuple] = {}
         counts: dict[int, int] = {}
+        closed: set[int] = set()
+        cur_b: int | None = None
+        cur: tuple | None = None  # (writer, tmp_path, final_path)
+
+        def close_cur():
+            nonlocal cur
+            if cur is not None:
+                cur[0].close()
+                os.rename(cur[1], cur[2])
+                cur = None
+
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
-            bcol = tbl.column("ts_bucket")
-            for b in pc.unique(bcol).to_pylist():
-                b = int(b)
-                sub = tbl.filter(pc.equal(bcol, b)).drop_columns(["ts_bucket"])
-                entry = writers.get(b)
-                if entry is None:
-                    bdir = os.path.join(staging, f"ts_bucket={b}")
+            b = tbl.column("ts_bucket").to_numpy()
+            body = tbl.drop_columns(["ts_bucket"])
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(b)) + 1, [len(b)]])
+            for i in range(len(starts) - 1):
+                lo, hi = int(starts[i]), int(starts[i + 1])
+                bk = int(b[lo])
+                sub = body.slice(lo, hi - lo)
+                if bk != cur_b:
+                    close_cur()  # sorted input: a new bucket ends the old
+                    if cur_b is not None:
+                        closed.add(cur_b)
+                    if bk in closed:
+                        # one-writer-at-a-time is only sound on contiguous
+                        # runs; a reappearing bucket would atomically
+                        # REPLACE its finished file with a partial one —
+                        # fail loudly instead (the write_tier call site
+                        # always sorts within partitions by ts_bucket)
+                        raise ValueError(
+                            f"ts_bucket {bk} not contiguous in task {pid}: "
+                            "input to _bucket_writer must be sorted by "
+                            "ts_bucket within partitions")
+                    bdir = os.path.join(staging, f"ts_bucket={bk}")
                     os.makedirs(bdir, exist_ok=True)
                     tmp = os.path.join(
                         bdir, f".part-{pid:05d}-{_uuid.uuid4().hex[:8]}.tmp")
-                    entry = (pq.ParquetWriter(tmp, sub.schema, compression="snappy"),
-                             tmp, os.path.join(bdir, f"part-{pid:05d}.parquet"))
-                    writers[b] = entry
-                    counts[b] = 0
-                entry[0].write_table(sub)
-                counts[b] += sub.num_rows
-        for b, (w, tmp, final) in writers.items():
-            w.close()
-            os.rename(tmp, final)
+                    cur = (pq.ParquetWriter(tmp, sub.schema,
+                                            compression="snappy"),
+                           tmp, os.path.join(bdir, f"part-{pid:05d}.parquet"))
+                    cur_b = bk
+                cur[0].write_table(sub)
+                counts[bk] = counts.get(bk, 0) + sub.num_rows
+        close_cur()
         if counts:
             ks = sorted(counts)
             yield pa.RecordBatch.from_pydict(
@@ -312,6 +339,7 @@ class RollupStore:
         t0 = time.monotonic()
         stat_rows = (
             out.repartition(par, F.col("ts_bucket"))
+            .sortWithinPartitions("ts_bucket")
             .mapInArrow(_bucket_writer(staging), "ts_bucket bigint, n_rows bigint")
             .collect())
         timings["write"] = round(time.monotonic() - t0, 3)

@@ -95,9 +95,39 @@ def test_store_resume_and_retention(spark, tmp_path):
     assert remaining == len(buckets) - 1
 
 
+def test_bucket_writer_one_file_per_bucket_and_contiguity_guard(
+        spark, pages, tmp_path):
+    """r7 direct-writer internals: exactly ONE deterministic part-<pid>
+    file per bucket dir, and the writer fails loudly on non-contiguous
+    (unsorted) bucket input instead of silently replacing a finished file
+    with a partial one."""
+    import pyarrow as pa
+
+    from ezmsg_sigproc_spark.plans.rollup_tiers import _bucket_writer
+
+    store = RollupStore(spark, str(tmp_path / "lake"))
+    store.write_tier("1m", rollup_base(pages_signal(pages), 60), resume=False)
+    tier_dir = os.path.join(store.root, "tier=1m")
+    for d in os.listdir(tier_dir):
+        files = [f for f in os.listdir(os.path.join(tier_dir, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1 and files[0].startswith("part-"), (d, files)
+
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging, exist_ok=True)
+    bad = pa.RecordBatch.from_pydict(
+        {"ts_bucket": pa.array([1, 2, 1], pa.int64()),
+         "v": pa.array([0.0, 1.0, 2.0])})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not contiguous"):
+        list(_bucket_writer(staging)(iter([bad])))
+
+
 def test_lineage_stats_match_true_bucket_counts(spark, pages, tmp_path):
-    """write_tier derives lineage n_rows from the staged parquet FOOTERS
-    (no re-computation); they must equal the true per-bucket counts."""
+    """write_tier derives lineage n_rows from the writing job's own
+    per-bucket stats (no re-computation, no footer pass); they must equal
+    the true per-bucket counts."""
     store = RollupStore(spark, str(tmp_path / "lake"))
     r1m = rollup_base(pages_signal(pages), 60)
     store.write_tier("1m", r1m, resume=False)
