@@ -42,11 +42,14 @@ distinct set outgrows executor memory.
 Throughput ceiling, measured (see jobs/stream_ingest_job.py and
 BASELINE.md): every applyInPandasWithState op pays one PYTHON function
 invocation per GROUP per batch — ~6k docs/s at local[32] on 900k distinct
-content hashes, and the state-store provider is irrelevant to it. When
-per-dup attribution is not required, prefer the JVM ``dropDuplicates`` /
-``dropDuplicatesWithinWatermark`` path (ingest job ``--dedup-mode drop``,
-measured 7.6× end-to-end); run the LSH near-dup as the BATCH operator on
-periodic snapshots when bucket counts reach ingest scale.
+content hashes, and the state-store provider is irrelevant to it. The
+JVM alternatives: for exact dedup, the ingest job's ``--dedup-mode
+report-join`` (lineage at join speed) or ``drop`` (filtered corpus only);
+for near-dup, :func:`streaming_minhash_join` — the same candidate rows
+from a foreachBatch join against a band-claims table, no Python stage.
+The stateful ops remain the path when an event-time retention TTL is
+required (the join-mode tables have no eviction); batch LSH on periodic
+snapshots stays the fallback when bucket counts reach ingest scale.
 """
 
 from __future__ import annotations
@@ -199,6 +202,210 @@ def _band_pack(sig: list[int], b: int, rows_per_band: int) -> int:
     return (first - 2147483648) * 4294967296 + sig[b * rows_per_band + 1]
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    evt_col: str | None = None,
+) -> DataFrame:
+    """Stateless LSH band rows as pure COLUMN EXPRESSIONS — one row per
+    (doc, band) with the doc's full signature: ``(id, band_id, band_sig,
+    sig array<long>[, evt])``.
+
+    This is the STREAM-side formulation, used where the rows must stay
+    stateless (feeding ``applyInPandasWithState``, whose input cannot be a
+    streaming aggregate): the min runs per ROW over the shingle array with
+    higher-order functions — streaming-compatible, entirely JVM (VERDICT
+    r6: the old path ran hashlib.md5 twice per shingle per doc inside
+    mapInPandas — a Python ceiling that bound ingest-rate near-dup before
+    the stateful stage did). Same hash family as the batch
+    ``minhash_signatures`` (md5 hex slices → bigint, per-band injective
+    affine pack; parity pytest-pinned); rows shorter than ``k`` are
+    filtered like the batch path. NOTE the HOF lambdas fall out of
+    whole-stage codegen (the batch module's round-2 measurement), so on a
+    STATIC frame — including inside ``foreachBatch``, where the join mode
+    computes per micro-batch — prefer ``minhash_signatures`` +
+    :func:`_band_rows_from_sigs` (measured 2-3× on 120k docs, see
+    BASELINE.md).
+    """
+    t = F.col(text_col)
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+        lambda i: F.substring(t, i, k)))
+    h1 = F.transform(shingles, F.md5)
+    h2 = F.transform(shingles, lambda s: F.md5(F.concat(F.lit("#"), s)))
+    m_cols = [
+        F.conv(F.array_min(F.transform(
+            h1 if j < 4 else h2, lambda x: x.substr((j % 4) * 8 + 1, 8))),
+            16, 10).cast("long").alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
+
+    cols = [F.col(id_col).cast("string").alias("id")]
+    if evt_col is not None:
+        cols.append(F.col(evt_col).alias("evt"))
+    sig_rows = (df
+                .filter(F.length(t) >= k)  # the batch path's short-row filter
+                .select(*cols, *m_cols))
+    return _band_rows_from_sigs(sig_rows, n_hashes, bands,
+                                extra_cols=("evt",) if evt_col else ())
+
+
+def _band_rows_from_sigs(sigs: DataFrame, n_hashes: int, bands: int,
+                         extra_cols: tuple = ()) -> DataFrame:
+    """(id, m0..m{n-1}[, extra]) → one row per (doc, band):
+    ``(id, band_id, band_sig, sig array<long>[, extra])`` with the batch
+    module's injective per-band affine pack."""
+    rows_per_band = n_hashes // bands
+    if rows_per_band > 2:
+        raise ValueError("band packing supports at most 2 32-bit rows per band")
+
+    def band_sig(b: int):
+        first = F.col(f"m{b * rows_per_band}")
+        if rows_per_band == 1:
+            return first
+        return (first - F.lit(2147483648)) * F.lit(4294967296) + F.col(
+            f"m{b * rows_per_band + 1}")
+
+    return sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"), band_sig(b).alias("band_sig"))
+            for b in range(bands)
+        ])).alias("band"),
+        F.array(*[F.col(f"m{j}") for j in range(n_hashes)]).alias("sig"),
+        *extra_cols,
+    ).select("id", "band.band_id", "band.band_sig", "sig", *extra_cols)
+
+
+def streaming_minhash_join(
+    stream: DataFrame,
+    candidates_sink: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+):
+    """JVM-speed streaming near-dup: the same candidate rows as
+    :func:`streaming_minhash_dedup` (``id, band_id, first_id,
+    jaccard_est`` — parity pytest-pinned) with NO Python stage at all.
+
+    The stateful-bucket op pays one PYTHON invocation per (band_id,
+    band_sig) group per batch — the same applyInPandasWithState dispatch
+    ceiling the exact-dedup path had before ``report-join`` (measured
+    there: 9.4k → 51.3k docs/s). This is the LSH analog of that fix:
+    ``foreachBatch`` maintains a compact band-claims table
+    (band_id, band_sig, first_id, first_sig) as idempotent
+    ``batch_id=<n>`` partitions under ``state_dir`` and left-joins each
+    micro-batch's band rows against the strictly-older claims;
+    within-batch firsts take the bucket by smallest id (the stateful op's
+    tie-break), and the signature-agreement estimate is a JVM
+    ``zip_with``/``aggregate`` over the two signatures. Candidate rows
+    land under ``candidates_sink`` as the same idempotent batch
+    partitions, so checkpoint recovery replays a batch onto itself
+    (overwrite) and never joins against its own prior attempt —
+    exactly-once like the state-store path.
+
+    Because the per-batch frame is STATIC, the signatures use the batch
+    module's explode+groupBy(min) formulation (``minhash_signatures`` —
+    whole-stage codegen, map-side partial min) instead of the stream-side
+    per-row HOF form, which falls out of codegen and measured 2-3× slower
+    on the same corpus; the stream itself carries only ``(id, text)``
+    source rows with no shuffle before the batch boundary.
+
+    Returns the configured ``DataStreamWriter`` (foreachBatch); the
+    caller sets the checkpoint location and trigger and calls
+    ``start()``. No event-time TTL in this mode (the claims table has no
+    eviction) — use :func:`streaming_minhash_dedup` when a retention
+    window is required, or at ingest scale run the batch LSH on
+    snapshots. At 100 TB the claims table is ~60 B per distinct band
+    bucket and the per-batch join shuffles only band keys and 8-long
+    signatures, never the text.
+    """
+    import os
+
+    from ..operators.dedup import minhash_signatures
+
+    docs = stream.select(F.col(id_col).cast("string").alias("id"),
+                         F.col(text_col).alias("text"))
+
+    def process_batch(bdf: DataFrame, batch_id: int):
+        sess = bdf.sparkSession
+        sigs = minhash_signatures(bdf, "id", "text", k=k, n_hashes=n_hashes)
+        b = _band_rows_from_sigs(sigs, n_hashes, bands).persist()
+        try:
+            # prior claims = every batch partition STRICTLY older than this
+            # one: a replayed batch must not join against its own previous
+            # attempt's appends (same recovery discipline as report-join)
+            prior = [
+                d for d in (os.listdir(state_dir)
+                            if os.path.isdir(state_dir) else [])
+                if d.startswith("batch_id=")
+                and int(d.split("=", 1)[1]) < batch_id]
+            seen = None
+            if prior:
+                seen = (sess.read.parquet(state_dir)
+                        .filter(F.col("batch_id") < batch_id)
+                        .select("band_id", "band_sig", "first_id",
+                                "first_sig"))
+            cands, new_claims = _join_candidates(b, seen, n_hashes)
+            cands.write.mode("overwrite").parquet(
+                os.path.join(candidates_sink, f"batch_id={batch_id}"))
+            new_claims.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"batch_id={batch_id}"))
+        finally:
+            b.unpersist()
+
+    return docs.writeStream.foreachBatch(process_batch)
+
+
+def _join_candidates(b: DataFrame, seen: DataFrame | None, n_hashes: int):
+    """Batch half of :func:`streaming_minhash_join`: from one micro-batch of
+    band rows ``b`` (id, band_id, band_sig, sig) and the strictly-older
+    claims table ``seen`` (band_id, band_sig, first_id, first_sig; None on
+    the first batch), produce ``(candidate rows, new claims)``. Pure
+    DataFrame expressions end to end — the plan audit pins that no Python
+    node appears (PLANS.md row). Bucket semantics match the stateful op:
+    a prior claim always owns the bucket; otherwise the batch's smallest id
+    claims it; every other doc in the bucket emits one candidate row with
+    the signature-agreement Jaccard estimate (JVM zip_with/aggregate)."""
+    mins = b.groupBy("band_id", "band_sig").agg(
+        F.min("id").alias("batch_first"),
+        F.min_by("sig", "id").alias("batch_sig"))
+    if seen is not None:
+        seen = seen.select("band_id", "band_sig",
+                           F.col("first_id").alias("seen_first"),
+                           F.col("first_sig").alias("seen_sig"))
+        firsts = (mins.join(seen, ["band_id", "band_sig"], "left")
+                  .select(
+                      "band_id", "band_sig",
+                      F.coalesce("seen_first", "batch_first"
+                                 ).alias("first_id"),
+                      F.coalesce("seen_sig", "batch_sig").alias("first_sig"),
+                      F.col("seen_first").isNotNull().alias("seen_before")))
+    else:
+        firsts = mins.select(
+            "band_id", "band_sig",
+            F.col("batch_first").alias("first_id"),
+            F.col("batch_sig").alias("first_sig"),
+            F.lit(False).alias("seen_before"))
+    agree = F.aggregate(
+        F.zip_with("sig", "first_sig", lambda a, c: (a == c).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    cands = (b.join(firsts, ["band_id", "band_sig"])
+             .filter(F.col("id") != F.col("first_id"))
+             .select("id", "band_id", "first_id",
+                     (agree / F.lit(float(n_hashes))).alias("jaccard_est")))
+    new_claims = (firsts.filter(~F.col("seen_before"))
+                  .select("band_id", "band_sig", "first_id", "first_sig"))
+    return cands, new_claims
+
+
 def streaming_minhash_dedup(
     stream: DataFrame,
     id_col: str = "doc_id",
@@ -223,62 +430,16 @@ def streaming_minhash_dedup(
     before the stateful stage); the only stateful exchange carries
     (band_id, band_sig, id, signature) ≈ 90 B per band row.
     """
-    rows_per_band = n_hashes // bands
-    if rows_per_band > 2:
-        raise ValueError("band packing supports at most 2 32-bit rows per band")
     use_ttl = ttl_seconds is not None
     if use_ttl and event_ts_col is None:
         raise ValueError("ttl_seconds requires event_ts_col (event-time TTL)")
     ttl_ms = int((ttl_seconds or 0) * 1000)
-
-    # Band rows are pure COLUMN EXPRESSIONS (VERDICT r6: the old path ran
-    # hashlib.md5 twice per shingle per doc inside mapInPandas — a Python
-    # ceiling that bound ingest-rate near-dup before the stateful stage
-    # did). Same hash family as the batch minhash_signatures (md5 hex
-    # slices → bigint, per-band affine pack; parity pytest-pinned); the
-    # batch module's explode+groupBy(min) shape is NOT available here — a
-    # streaming aggregate cannot feed applyInPandasWithState — so the min
-    # runs per ROW over the shingle array with higher-order functions:
-    # stateless, streaming-compatible, entirely JVM. Python now enters only
-    # at the stateful bucket stage.
-    t = F.col(text_col)
-    shingles = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
-        lambda i: F.substring(t, i, k)))
-    h1 = F.transform(shingles, F.md5)
-    h2 = F.transform(shingles, lambda s: F.md5(F.concat(F.lit("#"), s)))
-    m_cols = [
-        F.conv(F.array_min(F.transform(
-            h1 if j < 4 else h2, lambda x: x.substr((j % 4) * 8 + 1, 8))),
-            16, 10).cast("long").alias(f"m{j}")
-        for j in range(n_hashes)
-    ]
-
-    def band_sig(b: int):
-        first = F.col(f"m{b * rows_per_band}")
-        if rows_per_band == 1:
-            return first
-        return (first - F.lit(2147483648)) * F.lit(4294967296) + F.col(
-            f"m{b * rows_per_band + 1}")
-
-    cols = [F.col(id_col).cast("string").alias("id")]
     if use_ttl:
         stream = stream.withColumn(
             event_ts_col, F.col(event_ts_col).cast("timestamp"))
-        cols.append(F.col(event_ts_col).alias("evt"))
-    sig_rows = (stream
-                .filter(F.length(t) >= k)  # the batch path's short-row filter
-                .select(*cols, *m_cols))
-    band_rows = sig_rows.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band_id"), band_sig(b).alias("band_sig"))
-            for b in range(bands)
-        ])).alias("band"),
-        F.array(*[F.col(f"m{j}") for j in range(n_hashes)]).alias("sig"),
-        *(["evt"] if use_ttl else []),
-    ).select("id", "band.band_id", "band.band_sig", "sig",
-             *(["evt"] if use_ttl else []))
+    band_rows = minhash_band_rows(
+        stream, id_col=id_col, text_col=text_col, k=k, n_hashes=n_hashes,
+        bands=bands, evt_col=event_ts_col if use_ttl else None)
     if use_ttl:
         band_rows = band_rows.withWatermark("evt", watermark_delay)
 
