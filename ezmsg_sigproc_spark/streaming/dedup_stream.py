@@ -341,12 +341,17 @@ def streaming_minhash_join(
         try:
             # prior claims = every batch partition STRICTLY older than this
             # one: a replayed batch must not join against its own previous
-            # attempt's appends (same recovery discipline as report-join)
+            # attempt's appends (same recovery discipline as report-join).
+            # Partitions with no parquet files (an EMPTY early micro-batch
+            # writes only _SUCCESS) don't count: reading a state dir whose
+            # only partitions are file-less cannot infer a schema.
             prior = [
                 d for d in (os.listdir(state_dir)
                             if os.path.isdir(state_dir) else [])
                 if d.startswith("batch_id=")
-                and int(d.split("=", 1)[1]) < batch_id]
+                and int(d.split("=", 1)[1]) < batch_id
+                and any(f.endswith(".parquet")
+                        for f in os.listdir(os.path.join(state_dir, d)))]
             seen = None
             if prior:
                 seen = (sess.read.parquet(state_dir)

@@ -128,12 +128,17 @@ def run(spark, source: str, out: str, ttl_hours: float | None = None,
             try:
                 # prior first-seen state = every batch partition STRICTLY
                 # older than this one (a replayed batch must not join
-                # against its own previous attempt's appends)
+                # against its own previous attempt's appends); partitions
+                # with no parquet files (an empty early micro-batch) don't
+                # count — a read over only file-less partitions cannot
+                # infer a schema
                 prior = [
                     d for d in (os.listdir(first_seen_dir)
                                 if os.path.isdir(first_seen_dir) else [])
                     if d.startswith("batch_id=")
-                    and int(d.split("=", 1)[1]) < batch_id]
+                    and int(d.split("=", 1)[1]) < batch_id
+                    and any(f.endswith(".parquet") for f in
+                            os.listdir(os.path.join(first_seen_dir, d)))]
                 mins = b.groupBy("content_h").agg(
                     F.min("doc_id").alias("batch_first"))
                 if prior:

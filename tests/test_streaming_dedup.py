@@ -270,6 +270,32 @@ def test_streaming_minhash_join_parity_with_stateful(spark, tmp_path):
     assert set(st["first_id"]) == {"d1"}
 
 
+def test_streaming_minhash_join_empty_first_batch(spark, tmp_path):
+    """A zero-row source file makes the FIRST micro-batch empty, so its
+    claims partition may contain no parquet files; later batches must skip
+    file-less partitions when assembling prior claims (a read over only
+    file-less partitions cannot infer a schema) and still dedup across the
+    empty batch."""
+    src = tmp_path / "src"
+    os.makedirs(src)
+    base = ("empty first micro batches must not poison the band claims "
+            "table for every later batch")
+    _write(spark, src, "b0", [])  # zero-row file -> empty batch 0
+    _write(spark, src, "b1", [("d1", base)])
+    _write(spark, src, "b2", [("d2", base)])
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1).parquet(str(src / "*"))
+    q = (streaming_minhash_join(stream, str(tmp_path / "cands"),
+                                str(tmp_path / "state"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    assert q.awaitTermination(180)
+    cands = spark.read.parquet(str(tmp_path / "cands")).toPandas()
+    assert set(cands["id"]) == {"d2"}
+    assert set(cands["first_id"]) == {"d1"}
+
+
 def test_minhash_rows_property_parity_with_batch(spark):
     """Hypothesis sweep: for arbitrary unicode-ish texts the stateless
     streaming signature equals the batch JVM formulation exactly (same md5
