@@ -416,22 +416,42 @@ class RollupStore:
         write_tier: a failure leaves either the old lineage or the new one,
         never a half state — though a crash after the data drop and before
         the swap means the reopened buckets are simply re-done, which is the
-        intended outcome anyway). Returns the number of buckets reopened."""
+        intended outcome anyway). Returns the number of buckets reopened.
+
+        Lineage is driver-side metadata (a few hundred tiny rows), so the
+        rewrite is pyarrow like completed_buckets/_append_lineage — the
+        Spark coalesce(1) job this replaces cost seconds of worker round
+        trips for the same result (cold path, but there was no reason to
+        keep the asymmetry). Same visibility filter as completed_buckets:
+        a dot-prefixed .tmp from a concurrent _append_lineage is skipped
+        (it either reappears in the new lineage via its own rename — the
+        swap preserves nothing staged — or its writer's rename loses to
+        ours; both end states are a consistent table, and concurrent
+        reopen+write of the SAME bucket is outside the store's contract
+        anyway)."""
         buckets = [int(b) for b in buckets]
         if not buckets:
             return 0
         tier_dir = os.path.join(self.root, f"tier={tier}")
         for b in buckets:
             shutil.rmtree(os.path.join(tier_dir, f"ts_bucket={b}"), ignore_errors=True)
-        if not os.path.isdir(self.lineage_dir) or not os.listdir(self.lineage_dir):
+        if not os.path.isdir(self.lineage_dir):
             return len(buckets)
-        lin = self.spark.read.parquet(self.lineage_dir)
-        kept = lin.filter(
-            ~((F.col("tier") == tier) & F.col("ts_bucket").isin(buckets))
-        )
+        visible = [f for f in os.listdir(self.lineage_dir)
+                   if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        if not visible:
+            return len(buckets)
+        lin = pa.concat_tables([
+            pq.read_table(os.path.join(self.lineage_dir, f)) for f in visible])
+        drop = pc.and_(
+            pc.equal(lin.column("tier"), tier),
+            pc.is_in(lin.column("ts_bucket"),
+                     value_set=pa.array(buckets, pa.int64())))
+        kept = lin.filter(pc.invert(drop))
         tmp = self.lineage_dir + "._rewrite"
         shutil.rmtree(tmp, ignore_errors=True)
-        kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(tmp)
+        pq.write_table(kept, os.path.join(tmp, "lineage-rewritten.parquet"))
         old = self.lineage_dir + "._old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.lineage_dir, old)
