@@ -100,6 +100,16 @@ _LOCKSTEP_MAX_ENTROPY_BYTES = 4 << 20
 # parallelism), quant=1 noise ≈ 110 B/block (lockstep wins 2.2×).
 _LOCKSTEP_MIN_DENSITY = 64.0
 
+# When the compiled scalar entropy kernel (operators/jpeg_native.py, late
+# r7) is available, every payload routes to the scalar decoder: the kernel
+# measures ~24× the interpreted scalar loop single-core (61.8 vs 2.6 MB/s
+# entropy-decode), far past the lockstep formulation's best case over the
+# OLD scalar path (2.2× on dense payloads) — and per-image working sets
+# stay cache-resident instead of riding shared memory bandwidth. The
+# density routing above remains the no-compiler fallback. Tests set this
+# False to keep the lockstep machinery covered.
+_PREFER_NATIVE_SCALAR = True
+
 
 def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
     """Batch analog of decode_jpeg_coefficients: returns, per payload,
@@ -107,6 +117,16 @@ def decode_jpeg_coefficients_batch(payloads: list[bytes]) -> list:
     Payloads run through the lockstep decoder in sub-batches capped at
     ``_LOCKSTEP_MAX_PAYLOADS`` / ``_LOCKSTEP_MAX_ENTROPY_BYTES`` (see above).
     """
+    if _PREFER_NATIVE_SCALAR:
+        from . import jpeg_native
+        if jpeg_native.lib() is not None:
+            out2: list = []
+            for p in payloads:
+                try:
+                    out2.append(decode_jpeg_coefficients(p))
+                except Exception as e:  # same per-payload contract as below
+                    out2.append(e)
+            return out2
     if len(payloads) > _LOCKSTEP_MAX_PAYLOADS:
         out: list = []
         chunk: list[bytes] = []

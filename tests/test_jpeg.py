@@ -229,3 +229,68 @@ def test_huffman_long_code_fallback_path():
     # bitwise walk resolved them; short codes resolved via the LUT
     assert int(table.lut[0b01000000]) >> 8 == 2  # 'b' via LUT at length 2
     assert int(table.lut[0b11000000]) == -1      # long-code prefix not in LUT
+
+
+def test_native_kernel_parity_with_python_loop():
+    """The compiled entropy kernel (operators/jpeg_native.py, late r7) is a
+    C translation of the IDENTICAL combined-LUT algorithm; coefficients and
+    pixels must be bit-identical to the pure-Python loop over a sweep of
+    gray/color, 444/420, restart-interval, dense and sparse payloads. Skips
+    (loudly) only when no C compiler exists in the environment — the
+    production contract is that absence of the kernel only changes speed."""
+    from ezmsg_sigproc_spark.operators import jpeg_native
+    from ezmsg_sigproc_spark.operators.jpeg import (
+        _decode_segments_native, decode_jpeg_pixels, synth_jpeg_gray)
+
+    if jpeg_native.lib() is None:
+        pytest.skip("no C compiler available for the native kernel")
+
+    rng = np.random.default_rng(7)
+    payloads = []
+    for i in range(8):
+        h, w = int(rng.integers(8, 100)), int(rng.integers(8, 100))
+        if i % 2:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            payloads.append(synth_jpeg(
+                img, subsample="420" if i % 4 == 1 else "444",
+                restart_interval=int(rng.integers(0, 5))))
+        else:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            payloads.append(synth_jpeg_gray(
+                img, restart_interval=int(rng.integers(0, 5))))
+    # a smooth (sparse-entropy) payload exercises the EOB-heavy path
+    payloads.append(synth_jpeg_gray(
+        np.outer(np.linspace(0, 255, 64), np.ones(80)).astype(np.uint8)))
+
+    import ezmsg_sigproc_spark.operators.jpeg as _j
+
+    native_px = [decode_jpeg_pixels(p) for p in payloads]
+    # force the Python loop by stubbing the native dispatcher
+    orig = _j._decode_segments_native
+    _j._decode_segments_native = lambda *a, **k: None
+    try:
+        python_px = [decode_jpeg_pixels(p) for p in payloads]
+    finally:
+        _j._decode_segments_native = orig
+    for a, b in zip(native_px, python_px):
+        np.testing.assert_array_equal(a, b)
+
+    # error parity on corrupt input: truncating the entropy stream must
+    # raise the SAME ValueError through both paths (the kernel returns
+    # coded errors mapped onto the Python loop's exact messages)
+    def err_of(p):
+        try:
+            decode_jpeg_pixels(p)
+            return None
+        except ValueError as e:
+            return str(e)
+
+    corrupt = [p[: int(len(p) * 0.8)] + b"\xff\xd9" for p in payloads[:4]]
+    native_err = [err_of(p) for p in corrupt]
+    _j._decode_segments_native = lambda *a, **k: None
+    try:
+        python_err = [err_of(p) for p in corrupt]
+    finally:
+        _j._decode_segments_native = orig
+    assert native_err == python_err
+    assert any(e is not None for e in native_err)  # truncation really bites

@@ -28,6 +28,9 @@ from ezmsg_sigproc_spark.operators.jpeg_batch import (
 @pytest.fixture(autouse=True)
 def _force_lockstep_route(monkeypatch):
     monkeypatch.setattr(_jb, "_LOCKSTEP_MIN_DENSITY", 0.0)
+    # the compiled scalar kernel (late r7) otherwise routes everything
+    # scalar before the lockstep loop is reached
+    monkeypatch.setattr(_jb, "_PREFER_NATIVE_SCALAR", False)
 
 
 def _imgs(seed: int, n: int, hi: int = 120):
