@@ -43,7 +43,17 @@ import numpy as np
 
 def lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """GIF-variant LZW (Appendix F): LSB-first packing, CLEAR/EOI codes,
-    code width min+1..12, deferred-clear tolerated."""
+    code width min+1..12, deferred-clear tolerated.
+
+    This loop is 98% of scalar GIF decode time (profiled, BASELINE.md);
+    when the compiled mirror (operators/gif_native.py, late r7) is
+    available it runs instead — byte-identical output and exception
+    types, parity pytest-pinned; absence only changes speed."""
+    from .gif_native import lzw_decode_native
+
+    native = lzw_decode_native(data, min_code_size)
+    if native is not None:
+        return native
     clear = 1 << min_code_size
     eoi = clear + 1
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),

@@ -26,11 +26,6 @@ an older source version misses the hash and rebuilds.
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import os
-import subprocess
-import sys
-import tempfile
 
 _SRC = r"""
 #include <stdint.h>
@@ -208,38 +203,16 @@ _lib = None
 _lib_tried = False
 
 
-def _build() -> str:
-    """Compile the kernel into the temp-dir cache (atomic rename, race-safe
-    across worker processes) and return the .so path."""
-    h = hashlib.sha1(_SRC.encode()).hexdigest()[:16]
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    so = os.path.join(tempfile.gettempdir(),
-                      f"ezsp_jpeg_native_{uid}_{h}.so")
-    if os.path.exists(so):
-        return so
-    with tempfile.TemporaryDirectory() as td:
-        c = os.path.join(td, "jpeg_native.c")
-        with open(c, "w") as f:
-            f.write(_SRC)
-        tmp = os.path.join(td, "jpeg_native.so")
-        cc = os.environ.get("CC", "cc")
-        subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", tmp, c],
-                       check=True, capture_output=True, timeout=120)
-        os.replace(tmp, so)  # atomic; a concurrent builder's copy is identical
-    return so
-
-
 def lib():
     """The loaded kernel, or None when unavailable/disabled. Never raises."""
     global _lib, _lib_tried
     if _lib_tried:
         return _lib
     _lib_tried = True
-    if os.environ.get("EZSP_JPEG_NATIVE", "1") == "0":
-        return None
-    try:
-        so = _build()
-        L = ctypes.CDLL(so)
+    from .native_build import load
+
+    L = load("jpeg_native", _SRC, "EZSP_JPEG_NATIVE")
+    if L is not None:
         i64, p32, pu8 = ctypes.c_int64, ctypes.POINTER(ctypes.c_int32), \
             ctypes.POINTER(ctypes.c_uint8)
         L.decode_segment.restype = i64
@@ -250,11 +223,7 @@ def lib():
             ctypes.POINTER(p32), i64,       # zz pointers, n_comps
             i64, i64, i64,                  # mcus_x, start_mcu, count
         ]
-        _lib = L
-    except Exception as e:  # no compiler / exec-noexec tmp / hardened env
-        sys.stderr.write(f"jpeg_native unavailable ({e!r}); "
-                         "using the Python decode loop\n")
-        _lib = None
+    _lib = L
     return _lib
 
 

@@ -162,3 +162,52 @@ def test_image_features_decodes_gif_spark(spark):
     assert r.format == "gif" and (r.width, r.height) == (6, 10)
     exp = pal[idx].reshape(-1, 3).mean(axis=0)
     assert abs(r.mean_r - exp[0]) < 1e-9 and abs(r.mean_b - exp[2]) < 1e-9
+
+
+def test_native_lzw_parity_with_python_loop(monkeypatch):
+    """The compiled LZW kernel (operators/gif_native.py, late r7) must
+    produce byte-identical output AND raise the Python loop's exact
+    exception types/messages on corrupt streams. Skips (loudly) only when
+    no C compiler exists — absence of the kernel only changes speed."""
+    from ezmsg_sigproc_spark.operators import gif_native
+    from ezmsg_sigproc_spark.operators.gif import lzw_decode, lzw_encode
+
+    if gif_native.lib() is None:
+        pytest.skip("no C compiler available for the native kernel")
+
+    def py_path(fn, *a):
+        monkeypatch.setattr(gif_native, "lzw_decode_native",
+                            lambda *args: None)
+        try:
+            return fn(*a)
+        finally:
+            monkeypatch.undo()
+
+    rng = np.random.default_rng(11)
+    for mcs in (2, 4, 8):
+        for n in (1, 37, 5000):
+            idx = rng.integers(0, 1 << mcs, n).astype(np.uint8).tobytes()
+            enc = lzw_encode(idx, mcs)
+            assert lzw_decode(enc, mcs) == py_path(lzw_decode, enc, mcs) == idx
+
+    # corrupt random byte streams: (outcome, payload/exception) must match
+    mismatches = 0
+    raising = 0
+    for trial in range(120):
+        data = rng.integers(0, 256, int(rng.integers(1, 40))
+                            ).astype(np.uint8).tobytes()
+        mcs = 2 if trial % 2 else 8
+
+        def outcome(run_py):
+            try:
+                v = py_path(lzw_decode, data, mcs) if run_py else \
+                    lzw_decode(data, mcs)
+                return ("ok", v)
+            except Exception as e:
+                return (type(e).__name__, str(e))
+
+        a, b = outcome(False), outcome(True)
+        raising += a[0] != "ok"
+        mismatches += a != b
+    assert mismatches == 0
+    assert raising > 0  # the sweep actually exercised the error paths
